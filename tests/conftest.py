@@ -1,0 +1,42 @@
+"""Test configuration.
+
+Sharding/mesh tests run on a virtual 8-device CPU mesh; set the XLA flags
+before JAX initializes. Golden fixtures come from the reference repo's test
+corpus mounted read-only at /root/reference/tests.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pytest
+
+FIXTURES = Path("/root/reference/tests/images")
+GOLDENS = Path("/root/reference/tests/reference")
+
+
+def load_png(path):
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im)
+
+
+@pytest.fixture(scope="session")
+def fixtures():
+    if not FIXTURES.exists():
+        pytest.skip("reference fixture corpus not available")
+    return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    if not GOLDENS.exists():
+        pytest.skip("reference golden corpus not available")
+    return GOLDENS
