@@ -1,0 +1,129 @@
+"""Encoder tests: round-trips validated by our decoder AND by libwebp (PIL),
+plus PSNR/size quality floors mirroring the reference CI thresholds
+(`/root/reference/tests/lossy_encoder_quality.rs:244-332`)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import webp_tpu
+from webp_tpu import Encoder, WebPDecoder
+
+from conftest import load_png
+
+
+def psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def libwebp_decode(data, mode="RGB"):
+    return np.asarray(Image.open(io.BytesIO(data)).convert(mode))
+
+
+def libwebp_encode(img, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", **kw)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def photo(goldens):
+    return load_png(goldens / "gallery1" / "1.png")[:176, :200].copy()
+
+
+def test_lossy_roundtrip_consistency(photo):
+    data = Encoder.new_rgb(photo).with_quality(75).encode()
+    ours = WebPDecoder(data).read_image()
+    theirs = libwebp_decode(data)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+@pytest.mark.parametrize("q", [10, 50, 75, 90])
+def test_lossy_quality_floor(photo, q):
+    data = Encoder.new_rgb(photo).with_quality(q).encode()
+    dec = libwebp_decode(data)
+    p_ours = psnr(photo, dec)
+
+    lw = libwebp_encode(photo, quality=q, method=4)
+    p_lw = psnr(photo, libwebp_decode(lw))
+
+    # Reference CI floor: PSNR >= 80% of libwebp, size < 2.1x.
+    assert p_ours >= 0.8 * p_lw, (p_ours, p_lw)
+    assert len(data) < 2.1 * len(lw), (len(data), len(lw))
+
+
+def test_lossless_roundtrip_exact(photo):
+    rgba = np.dstack([photo, np.full(photo.shape[:2], 200, np.uint8)])
+    data = Encoder.new_rgba(rgba).with_lossless().encode()
+    ours = WebPDecoder(data).read_image()
+    np.testing.assert_array_equal(ours, rgba)
+    theirs = libwebp_decode(data, "RGBA")
+    np.testing.assert_array_equal(theirs, rgba)
+
+
+def test_lossy_with_alpha(photo):
+    alpha = np.linspace(0, 255, photo.shape[0] * photo.shape[1], dtype=np.uint8).reshape(
+        photo.shape[:2]
+    )
+    rgba = np.dstack([photo, alpha])
+    data = Encoder.new_rgba(rgba).with_quality(75).encode()
+    d = WebPDecoder(data)
+    assert d.has_alpha
+    ours = d.read_image()
+    theirs = libwebp_decode(data, "RGBA")
+    np.testing.assert_array_equal(ours, theirs)
+    # Alpha is lossless-coded: must round-trip exactly.
+    np.testing.assert_array_equal(ours[:, :, 3], alpha)
+
+
+def test_grayscale(photo):
+    gray = photo[:, :, 1].copy()
+    data = Encoder.new_l8(gray).with_quality(80).encode()
+    ours = WebPDecoder(data).read_image()
+    theirs = libwebp_decode(data)
+    np.testing.assert_array_equal(ours, theirs)
+    # L8 stores gray as full-range luma which the YUV->RGB matrix stretches
+    # (same behavior as the reference's convert_image_y), so the bound is loose.
+    assert psnr(gray, ours[:, :, 0]) > 20
+
+
+def test_metadata_chunks(photo):
+    icc = b"fake-icc-profile-data"
+    exif = b"fake-exif"
+    xmp = b"<xmp/>"
+    data = (
+        Encoder.new_rgb(photo[:64, :64])
+        .with_quality(75)
+        .with_icc_profile(icc)
+        .with_exif_metadata(exif)
+        .with_xmp_metadata(xmp)
+        .encode()
+    )
+    d = WebPDecoder(data)
+    assert d.icc_profile() == icc
+    assert d.exif_metadata() == exif
+    assert d.xmp_metadata() == xmp
+    # Still decodable by libwebp.
+    libwebp_decode(data)
+
+
+def test_convenience_functions(photo):
+    small = photo[:32, :32]
+    data = webp_tpu.encode_rgb(small, 75)
+    img, w, h = webp_tpu.decode_rgb(data)
+    assert (w, h) == (32, 32)
+    data = webp_tpu.encode_lossless_rgba(np.dstack([small, np.full((32, 32), 255, np.uint8)]))
+    img, _, _ = webp_tpu.decode_rgba(data)
+    np.testing.assert_array_equal(img[:, :, :3], small)
+
+
+def test_decode_libwebp_encodes(photo):
+    """Our decoder handles libwebp-produced bitstreams at various settings."""
+    for kw in [dict(quality=40, method=2), dict(quality=85, method=6), dict(lossless=True)]:
+        data = libwebp_encode(photo, **kw)
+        ours = WebPDecoder(data).read_image()
+        theirs = libwebp_decode(data)
+        np.testing.assert_array_equal(ours[:, :, :3], theirs[:, :, :3], err_msg=str(kw))

@@ -1,0 +1,285 @@
+"""Public encoder API and RIFF container muxing.
+
+Capability parity with the reference encoder API
+(`/root/reference/src/encoder/api.rs:417-914` EncoderParams/EncoderConfig/
+Encoder/Preset, `:1232-1397` chunk writing incl. the VP8X+ALPH path for
+lossy-with-alpha).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..errors import EncodingError, InvalidDimensions
+from ..ops import yuv as yuvops
+
+
+class Preset:
+    """Content presets (accepted for API parity; tuning hooks for later)."""
+
+    DEFAULT = "default"
+    PICTURE = "picture"
+    PHOTO = "photo"
+    DRAWING = "drawing"
+    ICON = "icon"
+    TEXT = "text"
+
+
+@dataclasses.dataclass
+class EncoderParams:
+    """Fine-tuning knobs (reference `EncoderParams`, api.rs:417-459)."""
+
+    use_predictor_transform: bool = True
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    """Reusable encoder configuration (reference api.rs:487-671)."""
+
+    quality: float = 75.0
+    alpha_quality: float = 100.0
+    method: int = 4
+    lossless: bool = False
+    exact: bool = False
+    preset: str = Preset.DEFAULT
+    near_lossless: int = 100  # accepted, not yet wired (parity w/ reference)
+    target_size: int = 0      # accepted, not yet wired (parity w/ reference)
+    sharp_yuv: bool = False   # accepted, not yet wired (parity w/ reference)
+    params: EncoderParams = dataclasses.field(default_factory=EncoderParams)
+
+    @classmethod
+    def new_lossy(cls, quality: float = 75.0) -> "EncoderConfig":
+        return cls(quality=quality, lossless=False)
+
+    @classmethod
+    def new_lossless(cls) -> "EncoderConfig":
+        return cls(quality=100.0, lossless=True)
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    out = fourcc + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def _riff(chunks: bytes) -> bytes:
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks
+
+
+def _vp8x(
+    width: int,
+    height: int,
+    *,
+    alpha=False,
+    icc=False,
+    exif=False,
+    xmp=False,
+    anim=False,
+) -> bytes:
+    flags = (
+        (0x20 if icc else 0)
+        | (0x10 if alpha else 0)
+        | (0x08 if exif else 0)
+        | (0x04 if xmp else 0)
+        | (0x02 if anim else 0)
+    )
+    payload = bytes([flags, 0, 0, 0])
+    payload += (width - 1).to_bytes(3, "little")
+    payload += (height - 1).to_bytes(3, "little")
+    return _chunk(b"VP8X", payload)
+
+
+class Encoder:
+    """Builder-style encoder over an in-memory image.
+
+    Accepts RGB8 / RGBA8 / L8 / LA8 numpy arrays ([h, w, c] or [h, w]).
+    """
+
+    def __init__(self, image: np.ndarray, color_type: Optional[str] = None):
+        image = np.asarray(image)
+        if image.ndim == 2:
+            image = image[:, :, None]
+        channels = image.shape[2]
+        inferred = {1: "L8", 2: "LA8", 3: "RGB8", 4: "RGBA8"}.get(channels)
+        if inferred is None:
+            raise EncodingError(f"unsupported channel count {channels}")
+        self.color_type = color_type or inferred
+        self.image = image
+        self.config = EncoderConfig()
+        self.icc_profile: Optional[bytes] = None
+        self.exif_metadata: Optional[bytes] = None
+        self.xmp_metadata: Optional[bytes] = None
+
+    # -- constructors mirrored from the reference builder -------------------
+
+    @classmethod
+    def new_rgb(cls, image):
+        return cls(image, "RGB8")
+
+    @classmethod
+    def new_rgba(cls, image):
+        return cls(image, "RGBA8")
+
+    @classmethod
+    def new_l8(cls, image):
+        return cls(image, "L8")
+
+    @classmethod
+    def new_la8(cls, image):
+        return cls(image, "LA8")
+
+    # -- builder setters -----------------------------------------------------
+
+    def with_quality(self, q: float):
+        self.config.quality = q
+        return self
+
+    def with_method(self, m: int):
+        self.config.method = m
+        return self
+
+    def with_lossless(self, lossless: bool = True):
+        self.config.lossless = lossless
+        return self
+
+    def with_preset(self, preset: str):
+        self.config.preset = preset
+        return self
+
+    def with_config(self, config: EncoderConfig):
+        self.config = config
+        return self
+
+    def with_icc_profile(self, data: bytes):
+        self.icc_profile = bytes(data)
+        return self
+
+    def with_exif_metadata(self, data: bytes):
+        self.exif_metadata = bytes(data)
+        return self
+
+    def with_xmp_metadata(self, data: bytes):
+        self.xmp_metadata = bytes(data)
+        return self
+
+    # -- encode --------------------------------------------------------------
+
+    def _to_rgba(self) -> np.ndarray:
+        img = self.image
+        h, w = img.shape[:2]
+        rgba = np.empty((h, w, 4), np.uint8)
+        if self.color_type == "L8":
+            rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = img[:, :, 0]
+            rgba[:, :, 3] = 255
+        elif self.color_type == "LA8":
+            rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = img[:, :, 0]
+            rgba[:, :, 3] = img[:, :, 1]
+        elif self.color_type == "RGB8":
+            rgba[:, :, :3] = img
+            rgba[:, :, 3] = 255
+        else:
+            rgba[:, :] = img
+        return rgba
+
+    def encode(self) -> bytes:
+        h, w = self.image.shape[:2]
+        if not (0 < w <= 16383 and 0 < h <= 16383):
+            raise InvalidDimensions(f"{w}x{h}")
+        has_alpha = self.color_type in ("RGBA8", "LA8")
+        has_meta = any(
+            x is not None for x in (self.icc_profile, self.exif_metadata, self.xmp_metadata)
+        )
+
+        if self.config.lossless:
+            from .vp8l import encode_lossless
+
+            payload = encode_lossless(
+                self._to_rgba(),
+                use_predictor=self.config.params.use_predictor_transform,
+                alpha_used=has_alpha,
+            )
+            body = _chunk(b"VP8L", payload)
+            needs_vp8x = has_meta
+            alpha_flag = has_alpha
+        else:
+            from .vp8 import Vp8Encoder
+
+            enc = Vp8Encoder(int(self.config.quality), self.config.method)
+            if self.color_type in ("L8", "LA8"):
+                y, u, v = yuvops.gray_to_yuv420(self.image[:, :, 0])
+            else:
+                y, u, v = yuvops.rgb_to_yuv420(self.image)
+            vp8 = enc.encode_yuv(y, u, v, w, h)
+            body = _chunk(b"VP8 ", vp8)
+            alpha_flag = False
+            if has_alpha:
+                from .vp8l import encode_alpha_lossless
+
+                alpha_plane = self.image[:, :, -1]
+                alph = _chunk(b"ALPH", encode_alpha_lossless(np.ascontiguousarray(alpha_plane)))
+                body = alph + body
+                alpha_flag = True
+            needs_vp8x = has_meta or alpha_flag
+
+        chunks = b""
+        if needs_vp8x:
+            chunks += _vp8x(
+                w,
+                h,
+                alpha=alpha_flag,
+                icc=self.icc_profile is not None,
+                exif=self.exif_metadata is not None,
+                xmp=self.xmp_metadata is not None,
+            )
+            if self.icc_profile is not None:
+                chunks += _chunk(b"ICCP", self.icc_profile)
+        chunks += body
+        if needs_vp8x:
+            if self.exif_metadata is not None:
+                chunks += _chunk(b"EXIF", self.exif_metadata)
+            if self.xmp_metadata is not None:
+                chunks += _chunk(b"XMP ", self.xmp_metadata)
+        return _riff(chunks)
+
+
+class WebPEncoder:
+    """Legacy writer-style API (reference `WebPEncoder`, api.rs:1243-1397)."""
+
+    def __init__(self):
+        self.config = EncoderConfig()
+        self.icc_profile = None
+        self.exif_metadata = None
+        self.xmp_metadata = None
+
+    def set_params(self, params: EncoderParams):
+        self.config.params = params
+
+    def set_quality(self, q: float):
+        self.config.quality = q
+
+    def set_lossless(self, lossless: bool):
+        self.config.lossless = lossless
+
+    def encode(self, data: np.ndarray, color_type: Optional[str] = None) -> bytes:
+        enc = Encoder(data, color_type)
+        enc.config = self.config
+        enc.icc_profile = self.icc_profile
+        enc.exif_metadata = self.exif_metadata
+        enc.xmp_metadata = self.xmp_metadata
+        return enc.encode()
+
+
+def encode_rgb(image, quality: float = 75.0) -> bytes:
+    return Encoder.new_rgb(image).with_quality(quality).encode()
+
+
+def encode_rgba(image, quality: float = 75.0) -> bytes:
+    return Encoder.new_rgba(image).with_quality(quality).encode()
+
+
+def encode_lossless_rgba(image) -> bytes:
+    return Encoder.new_rgba(image).with_lossless().encode()

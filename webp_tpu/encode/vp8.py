@@ -1,0 +1,609 @@
+"""VP8 (lossy WebP) keyframe encoder.
+
+Pipeline (parity reference `/root/reference/src/encoder/vp8.rs:1281-1488`):
+RGB->YUV420, quality->quantizer curve, per-macroblock full-RD mode decision
+(I16 / I4 / UV) with reconstruction-in-the-loop, token statistics -> adaptive
+probabilities, then boolean-coded headers + residual partitions.
+
+Mode decision evaluates candidates as batched numpy DCT/quant/cost tensors
+(the device-kernel shape); the raster walk carries reconstructed borders and
+nnz contexts exactly as the decoder expects them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..common import vp8_tables as T
+from ..errors import InvalidDimensions
+from ..ops import predict as pr
+from ..ops import transform as tx
+from ..ops import yuv as yuvops
+from . import costs as C
+from . import tables as ET
+from .boolenc import BoolEncoder, tree_paths
+from .quant import SegmentParams, quality_to_quant_index, compute_filter_level, RD_DISTO_MULT
+
+ZZ = T.ZIGZAG  # zigzag position -> raster index
+DC, V, H, TM, B = range(5)
+
+# Precomputed tree paths for the writers.
+_YMODE_PATHS = tree_paths(T.KEYFRAME_YMODE_TREE)[0]
+_UV_PATHS = tree_paths(T.KEYFRAME_UV_MODE_TREE)[0]
+_BPRED_PATHS = tree_paths(T.KEYFRAME_BPRED_MODE_TREE)[0]
+_SEG_PATHS = tree_paths(T.SEGMENT_ID_TREE)[0]
+# DCT token tree: leaves are EOB,0,1,2,3,4,cat1..cat6 encoded as token ids.
+_DCT_TOKEN_TREE = (-0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, 14, 16, -6, -7, 18, 20, -8, -9, -10, -11)
+_TOKEN_PATHS = tree_paths(_DCT_TOKEN_TREE)
+TOK_EOB, TOK_0, TOK_1, TOK_2, TOK_3, TOK_4 = range(6)
+TOK_CAT1 = 6
+
+
+def _token_for(value: int) -> int:
+    if value <= 4:
+        return TOK_0 + value
+    if value <= 6:
+        return TOK_CAT1
+    if value <= 10:
+        return TOK_CAT1 + 1
+    if value <= 18:
+        return TOK_CAT1 + 2
+    if value <= 34:
+        return TOK_CAT1 + 3
+    if value <= 66:
+        return TOK_CAT1 + 4
+    return TOK_CAT1 + 5
+
+
+class MBInfo:
+    __slots__ = ("luma_mode", "bpred", "chroma_mode", "segment_id", "skipped",
+                 "y2_levels", "y_levels", "uv_levels", "has_y2")
+
+    def __init__(self):
+        self.luma_mode = DC
+        self.bpred = None  # [16] modes when luma_mode == B
+        self.chroma_mode = DC
+        self.segment_id = 0
+        self.skipped = False
+        self.y2_levels = None   # [16] zigzag levels
+        self.y_levels = None    # [16, 16]
+        self.uv_levels = None   # [8, 16] (4 U then 4 V)
+        self.has_y2 = True
+
+
+class Vp8Encoder:
+    def __init__(self, quality: int = 75, method: int = 4):
+        self.quality = quality
+        self.method = min(method, 6)
+
+    # ------------------------------------------------------------- helpers
+
+    def _zz_quantize(self, mtx, blocks, first=0):
+        """Raster-order coeff blocks [..., 16] -> zigzag levels [..., 16]."""
+        zz = blocks[..., ZZ]
+        q = np.empty(16, np.int64)
+        q[:] = mtx.iq[1]
+        q[0] = mtx.iq[0]
+        bias = np.empty(16, np.int64)
+        bias[:] = mtx.bias[1]
+        bias[0] = mtx.bias[0]
+        c = zz.astype(np.int64)
+        level = np.minimum((np.abs(c) * q + bias) >> 17, 2047)
+        levels = np.where(c < 0, -level, level).astype(np.int32)
+        if first:
+            levels[..., :first] = 0
+        return levels
+
+    def _zz_dequantize(self, mtx, levels):
+        """Zigzag levels [..., 16] -> raster-order coefficients."""
+        q = np.empty(16, np.int64)
+        q[:] = mtx.q[1]
+        q[0] = mtx.q[0]
+        dq = levels.astype(np.int64) * q
+        out = np.zeros_like(dq)
+        out[..., ZZ] = dq
+        return out.astype(np.int32)
+
+    # -------------------------------------------------------------- encode
+
+    def encode(self, rgb: np.ndarray) -> bytes:
+        h, w = rgb.shape[:2]
+        if not (0 < w <= 16383 and 0 < h <= 16383):
+            raise InvalidDimensions(f"{w}x{h}")
+        ybuf, ubuf, vbuf = yuvops.rgb_to_yuv420(rgb)
+        return self.encode_yuv(ybuf, ubuf, vbuf, w, h)
+
+    def encode_yuv(self, ybuf, ubuf, vbuf, width, height) -> bytes:
+        self.mbw = (width + 15) // 16
+        self.mbh = (height + 15) // 16
+        self.width, self.height = width, height
+        self.ybuf, self.ubuf, self.vbuf = ybuf, ubuf, vbuf
+
+        qi = quality_to_quant_index(self.quality)
+        self.quant_index = qi
+        self.seg = SegmentParams(qi)
+        self.filter_level = compute_filter_level(qi)
+        self.sharpness = 0
+        self.probs = T.COEFF_PROBS_DEFAULT.copy()
+        self.level_costs = C.LevelCosts(self.probs)
+        self.stats = C.ProbaStats()
+
+        # Mode-decision + reconstruction pass; caches levels per MB.
+        self.mbs = self._analysis_pass()
+
+        # Adaptive probabilities from recorded statistics.
+        self._record_stats_and_skip()
+        new_probs = self.stats.updated_probs(self.probs)
+
+        # Entropy-code everything.
+        return self._write_bitstream(new_probs)
+
+    # -------------------------------------------------- mode decision pass
+
+    def _analysis_pass(self):
+        mbw, mbh = self.mbw, self.mbh
+        seg = self.seg
+        mbs = []
+
+        top_y = np.full(mbw * 16 + 16, 127, np.uint8)
+        top_u = np.full(mbw * 8, 127, np.uint8)
+        top_v = np.full(mbw * 8, 127, np.uint8)
+        top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
+
+        wy = ET.VP8_WEIGHT_Y
+        i4_try = 0 if self.method <= 1 else (3 if self.method <= 3 else (4 if self.method == 4 else 10))
+
+        for mby in range(mbh):
+            left_y = np.full(17, 129, np.uint8)
+            left_u = np.full(9, 129, np.uint8)
+            left_v = np.full(9, 129, np.uint8)
+            left_bpred = np.full(4, pr.B_DC, np.int32)
+            for mbx in range(mbw):
+                mb = MBInfo()
+                src = self.ybuf[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+                src_blocks = (
+                    src.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+                )  # [block, 4, 4] in raster block order
+
+                ws0 = pr.create_border_luma(mbx, mby, mbw, top_y, left_y)
+
+                # ---- I16 search -------------------------------------------------
+                best = None
+                is_flat = C.is_flat_source(src)
+                for mode_idx, mode in enumerate((DC, V, H, TM)):
+                    if mode == V and mby == 0:
+                        continue
+                    if mode == H and mbx == 0:
+                        continue
+                    if mode == TM and (mbx == 0 or mby == 0):
+                        continue
+                    ws = ws0.copy()
+                    if mode == DC:
+                        pr.predict_dc(ws, 16, mby != 0, mbx != 0)
+                    elif mode == V:
+                        pr.predict_v(ws, 16)
+                    elif mode == H:
+                        pr.predict_h(ws, 16)
+                    else:
+                        pr.predict_tm(ws, 16)
+                    pred = ws[1:17, 1:17]
+                    resid = src.astype(np.int32) - pred.astype(np.int32)
+                    blocks = (
+                        resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+                    )
+                    dct = tx.dct4x4(blocks)
+                    y2 = tx.wht4x4(dct[:, 0][None, :])[0]
+                    y2_levels = self._zz_quantize(seg.y2, y2[None, :])[0]
+                    y_levels = self._zz_quantize(seg.y1, dct, first=1)
+
+                    cost = int(
+                        C.residual_costs(y2_levels[None, :], 1, 0, 0, self.level_costs)[0]
+                    )
+                    cost += int(
+                        C.residual_costs(y_levels, 0, 1, 0, self.level_costs).sum()
+                    )
+
+                    # Reconstruction.
+                    y2_dq = self._zz_dequantize(seg.y2, y2_levels[None, :])[0]
+                    y2_r = tx.iwht4x4(y2_dq[None, :])[0]
+                    blk = self._zz_dequantize(seg.y1, y_levels)
+                    blk[:, 0] = y2_r
+                    res = tx.idct4x4(blk)
+                    rec = np.clip(
+                        pred.astype(np.int32)
+                        + res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+
+                    d = int(C.sse(src[None], rec[None])[0])
+                    sd = 0
+                    if seg.tlambda > 0:
+                        rec_blocks = rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+                        td = int(C.tdisto(src_blocks, rec_blocks, wy).sum())
+                        sd = (seg.tlambda * td + 128) >> 8
+                    if is_flat and C.is_flat_levels(y_levels, C.FLATNESS_LIMIT_I16):
+                        d *= 2
+                        sd *= 2
+                    mode_cost = ET.FIXED_COSTS_I16[mode_idx]
+                    score = (mode_cost + cost) * seg.lambda_i16 + RD_DISTO_MULT * (d + sd)
+                    if best is None or score < best[0]:
+                        best = (score, mode, mode_cost, cost, d, sd, y2_levels, y_levels, rec)
+
+                (_, i16_mode, i16_mode_cost, i16_cost, i16_d, i16_sd,
+                 i16_y2, i16_y, i16_rec) = best
+                i16_score = (i16_mode_cost + i16_cost) * seg.lambda_mode + RD_DISTO_MULT * (
+                    i16_d + i16_sd
+                )
+
+                # ---- I4 search --------------------------------------------------
+                use_i4 = False
+                if i4_try > 0:
+                    r = self._pick_intra4(
+                        ws0, src, mbx, mby, top_bpred, left_bpred, i16_score, i4_try
+                    )
+                    if r is not None:
+                        use_i4 = True
+                        bpred_modes, i4_levels, i4_rec = r
+
+                if use_i4:
+                    mb.luma_mode = B
+                    mb.has_y2 = False
+                    mb.bpred = bpred_modes
+                    mb.y_levels = i4_levels
+                    mb.y2_levels = None
+                    luma_rec = i4_rec
+                    top_bpred[mbx] = bpred_modes[12:]
+                    left_bpred[:] = bpred_modes[3::4]
+                else:
+                    mb.luma_mode = i16_mode
+                    mb.has_y2 = True
+                    mb.y2_levels = i16_y2
+                    mb.y_levels = i16_y
+                    luma_rec = i16_rec
+                    bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[i16_mode]
+                    top_bpred[mbx] = bmode
+                    left_bpred[:] = bmode
+
+                # Update luma borders from reconstruction.
+                left_y[0] = ws0[0, 16]
+                left_y[1:] = luma_rec[:, 15]
+                top_y[mbx * 16 : mbx * 16 + 16] = luma_rec[15, :]
+
+                # ---- UV search --------------------------------------------------
+                usrc = self.ubuf[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                vsrc = self.vbuf[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                uws0 = pr.create_border_chroma(mbx, mby, top_u, left_u)
+                vws0 = pr.create_border_chroma(mbx, mby, top_v, left_v)
+                best_uv = None
+                for mode_idx, mode in enumerate((DC, V, H, TM)):
+                    if mode == V and mby == 0:
+                        continue
+                    if mode == H and mbx == 0:
+                        continue
+                    if mode == TM and (mbx == 0 or mby == 0):
+                        continue
+                    levels = np.zeros((8, 16), np.int32)
+                    recs = []
+                    d = 0
+                    for ci, (cws0, csrc) in enumerate(((uws0, usrc), (vws0, vsrc))):
+                        cws = cws0.copy()
+                        if mode == DC:
+                            pr.predict_dc(cws, 8, mby != 0, mbx != 0)
+                        elif mode == V:
+                            pr.predict_v(cws, 8)
+                        elif mode == H:
+                            pr.predict_h(cws, 8)
+                        else:
+                            pr.predict_tm(cws, 8)
+                        cpred = cws[1:9, 1:9]
+                        resid = csrc.astype(np.int32) - cpred.astype(np.int32)
+                        blocks = (
+                            resid.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 16)
+                        )
+                        dct = tx.dct4x4(blocks)
+                        lv = self._zz_quantize(seg.uv, dct)
+                        levels[ci * 4 : ci * 4 + 4] = lv
+                        dq = self._zz_dequantize(seg.uv, lv)
+                        res = tx.idct4x4(dq)
+                        rec = np.clip(
+                            cpred.astype(np.int32)
+                            + res.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                        recs.append(rec)
+                        d += int(C.sse(csrc[None], rec[None])[0])
+                    cost = int(C.residual_costs(levels, 2, 0, 0, self.level_costs).sum())
+                    rate = ET.FIXED_COSTS_UV[mode_idx] + cost
+                    if mode != DC and C.is_flat_levels(levels, C.FLATNESS_LIMIT_UV):
+                        rate += C.FLATNESS_PENALTY * 8
+                    score = rate * seg.lambda_uv + RD_DISTO_MULT * d
+                    if best_uv is None or score < best_uv[0]:
+                        best_uv = (score, mode, levels, recs)
+
+                _, uv_mode, uv_levels, uv_recs = best_uv
+                mb.chroma_mode = uv_mode
+                mb.uv_levels = uv_levels
+                for (cws0, leftb, topb, buf, rec) in (
+                    (uws0, left_u, top_u, None, uv_recs[0]),
+                    (vws0, left_v, top_v, None, uv_recs[1]),
+                ):
+                    leftb[0] = cws0[0, 8]
+                    leftb[1:] = rec[:, 7]
+                    topb[mbx * 8 : mbx * 8 + 8] = rec[7, :]
+
+                # Skip detection: every level zero (incl. Y2 when present).
+                all_zero = (
+                    (mb.y_levels == 0).all()
+                    and (mb.uv_levels == 0).all()
+                    and (mb.y2_levels is None or (mb.y2_levels == 0).all())
+                )
+                mb.skipped = all_zero
+                mbs.append(mb)
+        return mbs
+
+    def _pick_intra4(self, ws0, src, mbx, mby, top_bpred, left_bpred, i16_score, n_try):
+        """Per-subblock I4 mode search with running-score early exit."""
+        seg = self.seg
+        ws = ws0.copy()
+        levels_out = np.zeros((16, 16), np.int32)
+        modes_out = np.zeros(16, np.int32)
+        total_rate = 211  # BMODE_COST initial penalty
+        total_disto = 0
+        tb = top_bpred[mbx].copy()
+        lb = left_bpred.copy()
+        wy = ET.VP8_WEIGHT_Y
+
+        for sby in range(4):
+            for sbx in range(4):
+                bi = sby * 4 + sbx
+                x0, y0 = sbx * 4 + 1, sby * 4 + 1
+                sb_src = src[sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4]
+                top_mode = int(tb[sbx])
+                left_mode = int(lb[sby])
+                mode_costs = ET.VP8_FIXED_COSTS_I4[top_mode][left_mode]
+
+                # Rank candidate modes by prediction SSE, keep the top n_try.
+                preds = []
+                for m in range(10):
+                    wsp = ws.copy()
+                    pr.predict_b(wsp, m, x0, y0)
+                    preds.append(wsp[y0 : y0 + 4, x0 : x0 + 4].copy())
+                preds = np.stack(preds)  # [10, 4, 4]
+                pred_sse = C.sse(
+                    np.broadcast_to(sb_src, preds.shape).reshape(10, -1),
+                    preds.reshape(10, -1),
+                )
+                order = np.argsort(pred_sse, kind="stable")[:n_try]
+
+                resid = sb_src.astype(np.int32)[None] - preds[order].astype(np.int32)
+                dct = tx.dct4x4(resid.reshape(len(order), 16))
+                lv = self._zz_quantize(seg.y1, dct)
+                cc = C.residual_costs(lv, 3, 0, 0, self.level_costs)
+                dq = self._zz_dequantize(seg.y1, lv)
+                res = tx.idct4x4(dq)
+                rec = np.clip(
+                    preds[order].astype(np.int32) + res.reshape(len(order), 4, 4), 0, 255
+                ).astype(np.uint8)
+                d = C.sse(sb_src[None].repeat(len(order), 0).reshape(len(order), -1),
+                          rec.reshape(len(order), -1))
+                if seg.tlambda > 0:
+                    td = C.tdisto(np.broadcast_to(sb_src, rec.shape), rec, wy)
+                    sd = (seg.tlambda * td + 128) >> 8
+                else:
+                    sd = np.zeros(len(order), np.int64)
+                rate = cc + mode_costs[order]
+                scores = rate * seg.lambda_i4 + RD_DISTO_MULT * (d + sd)
+                k = int(np.argmin(scores))
+                m = int(order[k])
+
+                modes_out[bi] = m
+                levels_out[bi] = lv[k]
+                ws[y0 : y0 + 4, x0 : x0 + 4] = rec[k]
+                tb[sbx] = m
+                lb[sby] = m
+
+                total_rate += int(rate[k])
+                total_disto += int(d[k] + sd[k])
+                running = total_rate * seg.lambda_mode + RD_DISTO_MULT * total_disto
+                if running >= i16_score:
+                    return None
+
+        return modes_out, levels_out, ws[1:17, 1:17].copy()
+
+    # -------------------------------------------------------- stats + skip
+
+    def _record_stats_and_skip(self):
+        mbw = self.mbw
+        top_c = np.zeros((mbw, 9), np.int64)
+        total = len(self.mbs)
+        n_skip = 0
+        for mby in range(self.mbh):
+            left_c = np.zeros(9, np.int64)
+            for mbx in range(mbw):
+                mb = self.mbs[mby * mbw + mbx]
+                if mb.skipped:
+                    n_skip += 1
+                    if mb.has_y2:
+                        left_c[0] = top_c[mbx, 0] = 0
+                    left_c[1:] = 0
+                    top_c[mbx, 1:] = 0
+                    continue
+                self._walk_mb_tokens(mb, mbx, top_c, left_c, record=True)
+        non_skip = total - n_skip
+        prob = (255 * non_skip + total // 2) // total if total else 255
+        self.skip_prob = min(max(prob, 1), 254)
+
+    def _walk_mb_tokens(self, mb, mbx, top_c, left_c, record=False, writer=None, probs=None):
+        """Shared context walk for stats recording and token writing."""
+        if mb.has_y2:
+            ctx = int(top_c[mbx, 0] + left_c[0])
+            nz = (mb.y2_levels != 0).any()
+            if record:
+                self.stats.record_blocks(mb.y2_levels[None, :], 1, 0, ctx)
+            else:
+                self._write_block(writer, mb.y2_levels, 1, 0, ctx, probs)
+            left_c[0] = top_c[mbx, 0] = 1 if nz else 0
+            plane, first = 0, 1
+        else:
+            plane, first = 3, 0
+
+        for y in range(4):
+            left = int(left_c[y + 1])
+            for x in range(4):
+                bi = y * 4 + x
+                ctx = int(top_c[mbx, x + 1]) + left
+                lv = mb.y_levels[bi]
+                nz = (lv[first:] != 0).any()
+                if record:
+                    self.stats.record_blocks(lv[None, :], plane, first, ctx)
+                else:
+                    self._write_block(writer, lv, plane, first, ctx, probs)
+                left = 1 if nz else 0
+                top_c[mbx, x + 1] = left
+            left_c[y + 1] = left
+
+        for j, base in ((5, 0), (7, 4)):
+            for y in range(2):
+                left = int(left_c[y + j])
+                for x in range(2):
+                    bi = base + y * 2 + x
+                    ctx = int(top_c[mbx, x + j]) + left
+                    lv = mb.uv_levels[bi]
+                    nz = (lv != 0).any()
+                    if record:
+                        self.stats.record_blocks(lv[None, :], 2, 0, ctx)
+                    else:
+                        self._write_block(writer, lv, 2, 0, ctx, probs)
+                    left = 1 if nz else 0
+                    top_c[mbx, x + j] = left
+                left_c[y + j] = left
+
+    # ----------------------------------------------------------- bitstream
+
+    def _write_block(self, enc, levels, plane, first, ctx, probs):
+        """Token-encode one zigzag-order level block (vp8.rs:798-958)."""
+        nz_idx = np.flatnonzero(levels)
+        end = int(nz_idx[-1]) + 1 if len(nz_idx) else 0
+        skip_eob = False
+        complexity = ctx
+        plane_probs = probs[plane]
+        for i in range(first, end):
+            coeff = int(levels[i])
+            band = T.COEFF_BANDS[i]
+            p = plane_probs[band][complexity]
+            start = 2 if skip_eob else 0
+            v = abs(coeff)
+            token = _token_for(v)
+            enc.write_with_path(_TOKEN_PATHS[start][token], p)
+            if token == TOK_0:
+                skip_eob = True
+                complexity = 0
+                continue
+            skip_eob = False
+            if token >= TOK_CAT1:
+                cat = token - TOK_CAT1
+                extra = v - T.DCT_CAT_BASE[cat]
+                cat_probs = T.PROB_DCT_CAT[cat]
+                nbits = len(cat_probs)
+                for b in range(nbits - 1, -1, -1):
+                    enc.write_bool((extra >> b) & 1, cat_probs[nbits - 1 - b])
+            enc.write_bool(1 if coeff < 0 else 0, 128)
+            complexity = 1 if v == 1 else 2
+        if end < 16:
+            band = T.COEFF_BANDS[max(first, end)]
+            p = plane_probs[band][complexity]
+            enc.write_with_path(_TOKEN_PATHS[0][TOK_EOB], p)
+
+    def _write_bitstream(self, new_probs) -> bytes:
+        header = BoolEncoder()
+        hw = header
+
+        hw.write_literal(1, 0)  # color space
+        hw.write_literal(1, 0)  # pixel type (clamping)
+        hw.write_flag(False)    # segments disabled (v1)
+        hw.write_flag(False)    # filter type: normal
+        hw.write_literal(6, self.filter_level)
+        hw.write_literal(3, self.sharpness)
+        hw.write_flag(False)    # no loop filter adjustments
+        hw.write_literal(2, 0)  # log2(num partitions) = 0 -> 1 partition
+
+        # Quantizer indices: all deltas zero.
+        hw.write_literal(7, self.quant_index)
+        for _ in range(5):
+            hw.write_flag(False)
+
+        hw.write_literal(1, 0)  # refresh entropy probs
+
+        # Token probability updates.
+        upd = T.COEFF_UPDATE_PROBS
+        old = self.probs
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for p in range(11):
+                        if new_probs[t, b, c, p] != old[t, b, c, p]:
+                            hw.write_bool(1, int(upd[t, b, c, p]))
+                            hw.write_literal(8, int(new_probs[t, b, c, p]))
+                        else:
+                            hw.write_bool(0, int(upd[t, b, c, p]))
+        self.probs = new_probs
+
+        hw.write_literal(1, 1)  # mb_no_skip_coeff enabled
+        hw.write_literal(8, self.skip_prob)
+
+        # MB headers (into header partition) + residuals (into partition 1).
+        part = BoolEncoder()
+        mbw = self.mbw
+        top_c = np.zeros((mbw, 9), np.int64)
+        top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
+        for mby in range(self.mbh):
+            left_c = np.zeros(9, np.int64)
+            left_bpred = np.full(4, pr.B_DC, np.int32)
+            for mbx in range(mbw):
+                mb = self.mbs[mby * mbw + mbx]
+                hw.write_bool(1 if mb.skipped else 0, self.skip_prob)
+                hw.write_with_path(_YMODE_PATHS[4 if mb.luma_mode == B else mb.luma_mode],
+                                   T.KEYFRAME_YMODE_PROBS)
+                if mb.luma_mode == B:
+                    for sy in range(4):
+                        for sx in range(4):
+                            m = int(mb.bpred[sy * 4 + sx])
+                            probs_ctx = T.KEYFRAME_BPRED_MODE_PROBS[
+                                int(top_bpred[mbx, sx]), int(left_bpred[sy])
+                            ]
+                            hw.write_with_path(_BPRED_PATHS[m], probs_ctx)
+                            top_bpred[mbx, sx] = m
+                            left_bpred[sy] = m
+                else:
+                    bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[mb.luma_mode]
+                    top_bpred[mbx] = bmode
+                    left_bpred[:] = bmode
+                hw.write_with_path(_UV_PATHS[mb.chroma_mode], T.KEYFRAME_UV_MODE_PROBS)
+
+                if mb.skipped:
+                    if mb.has_y2:
+                        left_c[0] = top_c[mbx, 0] = 0
+                    left_c[1:] = 0
+                    top_c[mbx, 1:] = 0
+                else:
+                    self._walk_mb_tokens(mb, mbx, top_c, left_c, record=False,
+                                         writer=part, probs=self.probs)
+
+        header_bytes = header.flush()
+        part_bytes = part.flush()
+
+        out = bytearray()
+        tag = (len(header_bytes) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
+        out += bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        out += b"\x9d\x01\x2a"
+        out += bytes([self.width & 0xFF, (self.width >> 8) & 0x3F])
+        out += bytes([self.height & 0xFF, (self.height >> 8) & 0x3F])
+        out += header_bytes
+        out += part_bytes
+        return bytes(out)
+
+
+def encode_frame_lossy(rgb: np.ndarray, quality: int = 75, method: int = 4) -> bytes:
+    return Vp8Encoder(quality, method).encode(rgb)

@@ -1,0 +1,338 @@
+"""VP8L (lossless WebP) encoder.
+
+Capability parity with the reference encoder
+(`/root/reference/src/encoder/api.rs:936-1222`): always subtract-green,
+optional whole-image TOP predictor transform, distance-1 run-length backrefs
+(single-entry distance tree), and length-limited canonical Huffman codes.
+
+The implementation is array-oriented: transforms are whole-frame numpy diffs,
+the pixel stream is run-length factored with vectorized comparisons, per-symbol
+(code, nbits) streams are built by table lookup, and the final LSB-first bit
+packing is a vectorized scatter-add (disjoint bit ranges never carry), which is
+also the shape of the device packer.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..errors import InvalidDimensions
+
+
+# -- canonical, length-limited Huffman --------------------------------------
+
+def build_code_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
+    """Huffman code lengths (<= limit) for symbol frequencies; all-zero when
+    fewer than two symbols are used."""
+    n = len(freqs)
+    used = np.flatnonzero(freqs)
+    lengths = np.zeros(n, np.int64)
+    if len(used) <= 1:
+        return lengths
+
+    heap = [(int(freqs[i]), int(i)) for i in used]
+    heapq.heapify(heap)
+    parent = {}
+    next_id = n
+    while len(heap) > 1:
+        f1, a = heapq.heappop(heap)
+        f2, b = heapq.heappop(heap)
+        parent[a] = next_id
+        parent[b] = next_id
+        heapq.heappush(heap, (f1 + f2, next_id))
+        next_id += 1
+    for i in used:
+        d = 0
+        x = int(i)
+        while x in parent:
+            x = parent[x]
+            d += 1
+        lengths[i] = d
+
+    if lengths.max() > limit:
+        counts = np.zeros(limit + 1, np.int64)
+        for l in lengths[used]:
+            counts[min(int(l), limit)] += 1
+        total = sum(int(counts[i]) << (limit - i) for i in range(1, limit + 1))
+        while total > (1 << limit):
+            i = limit - 1
+            while counts[i] == 0:
+                i -= 1
+            counts[i] -= 1
+            counts[limit] -= 1
+            counts[i + 1] += 2
+            total -= 1
+        order = used[np.argsort(freqs[used], kind="stable")]
+        ln = limit
+        for i in order:
+            while counts[ln] == 0:
+                ln -= 1
+            lengths[i] = ln
+            counts[ln] -= 1
+    return lengths
+
+
+def canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Assign canonical codes (bit-reversed for LSB-first writing)."""
+    codes = np.zeros(len(lengths), np.int64)
+    code = 0
+    max_len = int(lengths.max()) if len(lengths) else 0
+    for ln in range(1, max_len + 1):
+        for i in np.flatnonzero(lengths == ln):
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            codes[i] = rev
+            code += 1
+        code <<= 1
+    return codes
+
+
+# -- LSB-first vectorized bit stream ----------------------------------------
+
+class BitStream:
+    """Accumulates (code, nbits) entries; packs once with a scatter-add."""
+
+    def __init__(self):
+        self.chunks = []  # list of (codes int64 array, nbits int64 array)
+
+    def append(self, codes, nbits):
+        self.chunks.append(
+            (np.asarray(codes, np.int64).reshape(-1), np.asarray(nbits, np.int64).reshape(-1))
+        )
+
+    def append_bits(self, value: int, nbits: int):
+        self.append([value], [nbits])
+
+    def to_bytes(self) -> bytes:
+        codes = np.concatenate([c for c, _ in self.chunks]) if self.chunks else np.zeros(0, np.int64)
+        nbits = np.concatenate([n for _, n in self.chunks]) if self.chunks else np.zeros(0, np.int64)
+        keep = nbits > 0
+        codes, nbits = codes[keep], nbits[keep]
+        offsets = np.zeros(len(nbits) + 1, np.int64)
+        np.cumsum(nbits, out=offsets[1:])
+        total_bits = int(offsets[-1])
+        nbytes = (total_bits + 7) // 8
+        acc = np.zeros(nbytes + 8, np.int64)
+        byte_idx = offsets[:-1] >> 3
+        shift = offsets[:-1] & 7
+        # Codes are < 2^25 (15-bit code + 7-bit shift fits in 32 bits).
+        val = codes << shift
+        for b in range(4):
+            np.add.at(acc, byte_idx + b, (val >> (8 * b)) & 0xFF)
+        return acc[:nbytes].astype(np.uint8).tobytes()
+
+
+# -- tree serialization ------------------------------------------------------
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _write_single_entry_tree(bs: BitStream, symbol: int):
+    bs.append_bits(1, 2)  # simple tree, one symbol
+    if symbol <= 1:
+        bs.append_bits(0, 1)
+        bs.append_bits(symbol, 1)
+    else:
+        bs.append_bits(1, 1)
+        bs.append_bits(symbol, 8)
+
+
+def write_huffman_tree(bs: BitStream, freqs: np.ndarray):
+    """Serialize a tree; returns (lengths, codes) for the symbol writer."""
+    lengths = build_code_lengths(freqs, 15)
+    if lengths.max() == 0:
+        used = np.flatnonzero(freqs)
+        sym = int(used[0]) if len(used) else 0
+        _write_single_entry_tree(bs, sym)
+        codes = np.zeros(len(freqs), np.int64)
+        return lengths, codes
+    codes = canonical_codes(lengths)
+
+    cl_freqs = np.bincount(lengths, minlength=19)[:19]
+    cl_lengths = build_code_lengths(cl_freqs, 7)
+    single_cl = cl_lengths.max() == 0
+    cl_codes = canonical_codes(cl_lengths)
+
+    bs.append_bits(0, 1)  # normal (code-length-coded) tree
+    bs.append_bits(19 - 4, 4)
+    for i in _CL_ORDER:
+        if i > 15 or cl_freqs[i] == 0:
+            bs.append_bits(0, 3)
+        elif single_cl:
+            bs.append_bits(1, 3)
+        else:
+            bs.append_bits(int(cl_lengths[i]), 3)
+    bs.append_bits(0, 1)  # no explicit max_symbol
+    if not single_cl:
+        bs.append(cl_codes[lengths], cl_lengths[lengths])
+    return lengths, codes
+
+
+def _length_to_symbol(run: np.ndarray):
+    """Run length -> (prefix symbol, extra_bits count) vectorized."""
+    lm1 = run - 1
+    high = np.int64(np.floor(np.log2(np.maximum(lm1, 1))))
+    second = (lm1 >> np.maximum(high - 1, 0)) & 1
+    symbol = 2 * high + second
+    extra = np.maximum(high - 1, 0)
+    return symbol, extra
+
+
+# -- main entry --------------------------------------------------------------
+
+def encode_lossless(
+    rgba: np.ndarray,
+    use_predictor: bool = True,
+    implicit_dims: bool = False,
+    alpha_used: bool = True,
+) -> bytes:
+    """Encode an [h, w, 4] RGBA array as a VP8L stream."""
+    h, w = rgba.shape[:2]
+    if not (0 < w <= 16384 and 0 < h <= 16384):
+        raise InvalidDimensions(f"{w}x{h}")
+
+    bs = BitStream()
+    if not implicit_dims:
+        bs.append_bits(0x2F, 8)
+        bs.append_bits(w - 1, 14)
+        bs.append_bits(h - 1, 14)
+        bs.append_bits(1 if alpha_used else 0, 1)
+        bs.append_bits(0, 3)
+
+    px = rgba.reshape(-1, 4).astype(np.int16).copy()
+    # Subtract green.
+    bs.append_bits(0b101, 3)
+    px[:, 0] -= px[:, 1]
+    px[:, 2] -= px[:, 1]
+
+    if use_predictor:
+        # Predictor transform, TOP (mode 2) everywhere via a single-entry
+        # predictor image; block bits field = 9-2 (512px blocks).
+        bs.append_bits(0b111001 | 0, 6)
+        bs.append_bits(0, 1)  # no color cache in sub-image
+        _write_single_entry_tree(bs, 2)
+        for _ in range(4):
+            _write_single_entry_tree(bs, 0)
+        img = px.reshape(h, w, 4)
+        out = img.copy()
+        out[1:] = img[1:] - img[:-1]
+        out[0, 1:] = img[0, 1:] - img[0, :-1]
+        out[0, 0, 3] -= 255
+        px = out.reshape(-1, 4)
+
+    px &= 0xFF
+    px = px.astype(np.int64)
+
+    bs.append_bits(0, 1)  # transforms done
+    bs.append_bits(0, 1)  # no color cache
+    bs.append_bits(0, 1)  # no meta-huffman
+
+    # Run-length factor the pixel stream (runs of identical pixels, <=4096).
+    packed = (px[:, 0] << 16) | (px[:, 1] << 8) | px[:, 2] | (px[:, 3] << 24)
+    n = len(packed)
+    boundaries = np.flatnonzero(np.diff(packed)) + 1
+    starts = np.concatenate([[0], boundaries])
+    run_lens = np.diff(np.concatenate([starts, [n]]))
+    # Split runs longer than 1+4096 into literal + capped runs.
+    literals_idx = starts
+    extra_runs = run_lens - 1  # run after the literal pixel
+
+    g = px[:, 1]
+    r = px[:, 0]
+    b = px[:, 2]
+    a = px[:, 3]
+
+    # Histogram for the green/length tree.
+    freq_g = np.zeros(280, np.int64)
+    np.add.at(freq_g, g[literals_idx], 1)
+    freq_r = np.bincount(r[literals_idx], minlength=256).astype(np.int64)
+    freq_b = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
+    freq_a = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
+
+    # Run symbols: chunks of up to 4096.
+    run_records = []  # (length,) per emitted run token
+    for s, extra in zip(literals_idx, extra_runs):
+        rem = int(extra)
+        while rem > 0:
+            take = min(rem, 4096)
+            run_records.append(take)
+            rem -= take
+    run_arr = np.array(run_records, np.int64) if run_records else np.zeros(0, np.int64)
+    small = run_arr <= 4
+    np.add.at(freq_g, np.where(small, 256 + run_arr - 1, 0), small.astype(np.int64))
+    big_sym, big_extra = _length_to_symbol(run_arr)
+    np.add.at(freq_g, np.where(~small, 256 + big_sym, 0), (~small).astype(np.int64))
+
+    # Trees: green+length, red, blue, alpha, distance (single entry "1").
+    len_g, code_g = write_huffman_tree(bs, freq_g)
+    len_r, code_r = write_huffman_tree(bs, freq_r)
+    len_b, code_b = write_huffman_tree(bs, freq_b)
+    len_a, code_a = write_huffman_tree(bs, freq_a)
+    _write_single_entry_tree(bs, 1)
+
+    # Emit the symbol stream. Per literal: G,R,B,A codes; per run token: a
+    # length prefix + extra bits + (zero-bit) distance code.
+    # Interleave in pixel order: build per-segment emission with vectorized
+    # channel lookups; run tokens follow their literal.
+    lit_codes = np.stack(
+        [code_g[g[literals_idx]], code_r[r[literals_idx]], code_b[b[literals_idx]], code_a[a[literals_idx]]],
+        axis=1,
+    )
+    lit_bits = np.stack(
+        [len_g[g[literals_idx]], len_r[r[literals_idx]], len_b[b[literals_idx]], len_a[a[literals_idx]]],
+        axis=1,
+    )
+
+    # Interleave literal tokens with their run tokens, preserving order. The
+    # common case (no run after a literal) is handled with bulk spans.
+    if len(run_arr):
+        run_sym = np.where(small, 256 + run_arr - 1, 256 + big_sym)
+        run_code = code_g[run_sym]
+        run_nbits = len_g[run_sym]
+        run_extra_val = np.where(small, 0, (run_arr - 1) & ((1 << big_extra) - 1))
+        run_extra_bits = np.where(small, 0, big_extra)
+
+    has_run = np.flatnonzero(extra_runs > 0)
+    if len(has_run) == 0:
+        bs.append(lit_codes.reshape(-1), lit_bits.reshape(-1))
+        return bs.to_bytes()
+
+    seg_tokens_codes = []
+    seg_tokens_bits = []
+    run_i = 0
+    prev = 0
+    for si in has_run:
+        si = int(si)
+        # Literals since the previous run-bearing segment, then this literal.
+        seg_tokens_codes.append(lit_codes[prev : si + 1].reshape(-1))
+        seg_tokens_bits.append(lit_bits[prev : si + 1].reshape(-1))
+        prev = si + 1
+        rem = int(extra_runs[si])
+        while rem > 0:
+            take = min(rem, 4096)
+            seg_tokens_codes.append(
+                np.array([run_code[run_i], run_extra_val[run_i]], np.int64)
+            )
+            seg_tokens_bits.append(
+                np.array([run_nbits[run_i], run_extra_bits[run_i]], np.int64)
+            )
+            run_i += 1
+            rem -= take
+    seg_tokens_codes.append(lit_codes[prev:].reshape(-1))
+    seg_tokens_bits.append(lit_bits[prev:].reshape(-1))
+
+    bs.append(np.concatenate(seg_tokens_codes), np.concatenate(seg_tokens_bits))
+    return bs.to_bytes()
+
+
+def encode_alpha_lossless(alpha_plane: np.ndarray) -> bytes:
+    """ALPH chunk payload: VP8L-compressed alpha in the green channel."""
+    h, w = alpha_plane.shape
+    rgba = np.empty((h, w, 4), np.uint8)
+    # L8 expansion (r=g=b=value) so subtract-green zeroes R and B.
+    rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = alpha_plane
+    rgba[:, :, 3] = 255
+    # header byte: compression=1 (lossless), no filtering, no preprocessing
+    payload = encode_lossless(rgba, use_predictor=True, implicit_dims=True)
+    return b"\x01" + payload

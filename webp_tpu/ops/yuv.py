@@ -63,3 +63,71 @@ def simple_yuv420_to_rgb(ybuf, ubuf, vbuf, width, height):
     u = ubuf[rows][:, cols]
     v = vbuf[rows][:, cols]
     return yuv_to_rgb(y, u, v)
+
+
+# -- encoder side: RGB -> YUV420 with macroblock padding --------------------
+
+YUV_FIX = 16
+YUV_HALF = 1 << (YUV_FIX - 1)
+
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """BT.601 fixed-point RGB->YUV420 (libwebp coefficients) with 2x2 chroma
+    averaging and edge-replicated padding to whole macroblocks.
+
+    Input [h, w, 3|4] uint8; returns (y [mbh*16, mbw*16], u, v [mbh*8, mbw*8]).
+    Parity: `/root/reference/src/decoder/yuv.rs:656-898`.
+    """
+    h, w = rgb.shape[:2]
+    mbw = (w + 15) // 16
+    mbh = (h + 15) // 16
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+
+    y = ((16839 * r + 33059 * g + 6420 * b + YUV_HALF + (16 << YUV_FIX)) >> YUV_FIX).astype(np.uint8)
+
+    u_raw = -9719 * r - 19081 * g + 28800 * b + (128 << YUV_FIX)
+    v_raw = 28800 * r - 24116 * g - 4684 * b + (128 << YUV_FIX)
+
+    # 2x2 average with edge replication for odd dimensions.
+    ew = w + (w & 1)
+    eh = h + (h & 1)
+
+    def downsample(raw):
+        full = np.empty((eh, ew), np.int64)
+        full[:h, :w] = raw
+        if w & 1:
+            full[:h, w] = raw[:, w - 1]
+        if h & 1:
+            full[h, :] = full[h - 1, :]
+        s = full[0::2, 0::2] + full[0::2, 1::2] + full[1::2, 0::2] + full[1::2, 1::2]
+        return ((s + (YUV_HALF << 2)) >> (YUV_FIX + 2)).astype(np.uint8)
+
+    u = downsample(u_raw)
+    v = downsample(v_raw)
+
+    def pad(plane, ph, pw):
+        out = np.empty((ph, pw), np.uint8)
+        sh, sw = plane.shape
+        out[:sh, :sw] = plane
+        if sw < pw:
+            out[:sh, sw:] = plane[:, sw - 1 : sw]
+        if sh < ph:
+            out[sh:, :] = out[sh - 1 : sh, :]
+        return out
+
+    return pad(y, mbh * 16, mbw * 16), pad(u, mbh * 8, mbw * 8), pad(v, mbh * 8, mbw * 8)
+
+
+def gray_to_yuv420(gray: np.ndarray):
+    """L8/LA8 path: luma copied directly, chroma flat 127 (yuv.rs:806-847)."""
+    h, w = gray.shape[:2]
+    mbw = (w + 15) // 16
+    mbh = (h + 15) // 16
+    y = np.empty((mbh * 16, mbw * 16), np.uint8)
+    y[:h, :w] = gray if gray.ndim == 2 else gray[:, :, 0]
+    y[:h, w:] = y[:h, w - 1 : w]
+    y[h:, :] = y[h - 1 : h, :]
+    u = np.full((mbh * 8, mbw * 8), 127, np.uint8)
+    return y, u, u.copy()
