@@ -9,10 +9,23 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Tests run on a virtual 8-device CPU mesh. The environment's sitecustomize
+# registers the remote TPU backend and pins jax_platforms via config (env vars
+# alone don't override it), so force CPU here before any backend is
+# initialized. Set WEBP_TPU_TEST_REAL_TPU=1 to run on the real chip instead.
+if not os.environ.get("WEBP_TPU_TEST_REAL_TPU"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 import numpy as np
 import pytest
