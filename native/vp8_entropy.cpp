@@ -1,0 +1,688 @@
+// VP8 entropy coding hot loops (host side).
+//
+// The boolean arithmetic coder is inherently serial, so it runs on the host;
+// this library implements the per-macroblock entropy passes at native speed:
+//   - vp8_entropy_decode: full keyframe parse -> mode/coefficient tensors
+//     (bit-exact with webp_tpu/decode/vp8.py, which is the reference).
+//   - vp8_token_encode: quantized level blocks -> boolean-coded partition.
+//
+// Probability/quantizer tables are passed in from Python so the spec data
+// stays single-sourced (webp_tpu/common/vp8_tables.py).
+//
+// Build: g++ -O2 -shared -fPIC -o libwebp_tpu_native.so vp8_entropy.cpp
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---------------------------------------------------------------- decoder
+
+struct BoolDec {
+    const uint8_t* data;
+    int len;
+    int pos;
+    uint32_t value;
+    uint32_t range;
+    int bit_count;
+    int overrun;
+
+    void init(const uint8_t* d, int l) {
+        data = d;
+        len = l;
+        pos = 0;
+        overrun = 0;
+        value = (next_byte() << 8) | next_byte();
+        range = 255;
+        bit_count = 0;
+    }
+    uint32_t next_byte() {
+        if (pos < len) return data[pos++];
+        overrun++;
+        return 0;
+    }
+    bool is_eof() const { return overrun > 1; }
+
+    int get_bit(int prob) {
+        uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
+        uint32_t big = split << 8;
+        int bit;
+        if (value >= big) {
+            bit = 1;
+            range -= split;
+            value -= big;
+        } else {
+            bit = 0;
+            range = split;
+        }
+        while (range < 128) {
+            value = (value << 1) & 0xFFFFFF;
+            range <<= 1;
+            if (++bit_count == 8) {
+                bit_count = 0;
+                value |= next_byte();
+            }
+        }
+        return bit;
+    }
+    int get_flag() { return get_bit(128); }
+    int get_literal(int n) {
+        int v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | get_bit(128);
+        return v;
+    }
+    int get_signed(int n) {
+        if (!get_flag()) return 0;
+        int mag = get_literal(n);
+        return get_flag() ? -mag : mag;
+    }
+    int read_tree(const int8_t* tree, const uint8_t* probs) {
+        int i = 0;
+        for (;;) {
+            int t = tree[i + get_bit(probs[i >> 1])];
+            if (t <= 0) return -t;
+            i = t;
+        }
+    }
+};
+
+const int8_t SEGMENT_TREE[6] = {2, 4, 0, -1, -2, -3};
+const int8_t YMODE_TREE[8] = {-4, 2, 4, 6, 0, -1, -2, -3};
+const int8_t UV_TREE[6] = {0, 2, -1, 4, -2, -3};
+const int8_t BPRED_TREE[18] = {0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -5, -6, -4, 14, -7, 16, -8, -9};
+const uint8_t YMODE_PROBS[4] = {145, 156, 163, 128};
+const uint8_t UV_PROBS[3] = {142, 114, 183};
+const uint8_t CAT_PROBS[6][11] = {
+    {159, 0},
+    {165, 145, 0},
+    {173, 148, 140, 0},
+    {176, 155, 140, 135, 0},
+    {180, 157, 141, 134, 130, 0},
+    {254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129},
+};
+const int CAT_BITS[6] = {1, 2, 3, 4, 5, 11};
+const int ZIGZAG[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15};
+const int COEFF_BANDS[16] = {0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7};
+
+struct Segment {
+    int quantizer_level = 0;
+    int loopfilter_level = 0;
+    bool delta_values = true;
+    int ydc = 0, yac = 0, y2dc = 0, y2ac = 0, uvdc = 0, uvac = 0;
+};
+
+// Read coefficients for one block; returns has-AC flag (n > first).
+// probs layout: [8 bands][3 ctx][11]
+static int read_coeffs(BoolDec& bd, const uint8_t* plane_probs, int ctx, int dcq, int acq,
+                       int first, int32_t* block, int* error) {
+    int n = first;
+    const uint8_t* p = plane_probs + (COEFF_BANDS[n] * 3 + ctx) * 11;
+    while (n < 16) {
+        if (!bd.get_bit(p[0])) break;
+        while (!bd.get_bit(p[1])) {
+            n += 1;
+            if (n >= 16) {
+                if (bd.is_eof()) *error = 1;
+                return 1;
+            }
+            p = plane_probs + (COEFF_BANDS[n] * 3 + 0) * 11;
+        }
+        int v;
+        int next_ctx;
+        if (!bd.get_bit(p[2])) {
+            v = 1;
+            next_ctx = 1;
+        } else {
+            if (!bd.get_bit(p[3])) {
+                if (!bd.get_bit(p[4]))
+                    v = 2;
+                else
+                    v = 3 + bd.get_bit(p[5]);
+            } else {
+                if (!bd.get_bit(p[6])) {
+                    if (!bd.get_bit(p[7]))
+                        v = 5 + bd.get_bit(159);
+                    else
+                        v = 7 + 2 * bd.get_bit(165) + bd.get_bit(145);
+                } else {
+                    int bit1 = bd.get_bit(p[8]);
+                    int bit0 = bd.get_bit(p[9 + bit1]);
+                    int cat = 2 * bit1 + bit0;
+                    int extra = 0;
+                    for (int i = 0; i < CAT_BITS[2 + cat]; i++)
+                        extra = extra + extra + bd.get_bit(CAT_PROBS[2 + cat][i]);
+                    v = 3 + (8 << cat) + extra;
+                }
+            }
+            next_ctx = 2;
+        }
+        if (bd.get_bit(128)) v = -v;
+        int zz = ZIGZAG[n];
+        block[zz] = v * (zz > 0 ? acq : dcq);
+        n += 1;
+        if (n < 16) p = plane_probs + (COEFF_BANDS[n] * 3 + next_ctx) * 11;
+    }
+    if (bd.is_eof()) *error = 1;
+    return n > first;
+}
+
+static void iwht4x4(int32_t* b) {
+    for (int i = 0; i < 4; i++) {
+        int64_t a1 = (int64_t)b[i] + b[12 + i];
+        int64_t b1 = (int64_t)b[4 + i] + b[8 + i];
+        int64_t c1 = (int64_t)b[4 + i] - b[8 + i];
+        int64_t d1 = (int64_t)b[i] - b[12 + i];
+        b[i] = (int32_t)(a1 + b1);
+        b[4 + i] = (int32_t)(c1 + d1);
+        b[8 + i] = (int32_t)(a1 - b1);
+        b[12 + i] = (int32_t)(d1 - c1);
+    }
+    for (int i = 0; i < 4; i++) {
+        int32_t* r = b + i * 4;
+        int64_t a1 = (int64_t)r[0] + r[3];
+        int64_t b1 = (int64_t)r[1] + r[2];
+        int64_t c1 = (int64_t)r[1] - r[2];
+        int64_t d1 = (int64_t)r[0] - r[3];
+        r[0] = (int32_t)((a1 + b1 + 3) >> 3);
+        r[1] = (int32_t)((c1 + d1 + 3) >> 3);
+        r[2] = (int32_t)((a1 - b1 + 3) >> 3);
+        r[3] = (int32_t)((d1 - c1 + 3) >> 3);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse only dimensions (for buffer allocation). Returns 0 on success.
+int vp8_parse_dims(const uint8_t* data, int len, int32_t* out_w, int32_t* out_h) {
+    if (len < 10) return -1;
+    uint32_t tag = data[0] | (data[1] << 8) | (data[2] << 16);
+    if (tag & 1) return -2;
+    if (!(data[3] == 0x9d && data[4] == 0x01 && data[5] == 0x2a)) return -3;
+    *out_w = (data[6] | (data[7] << 8)) & 0x3FFF;
+    *out_h = (data[8] | (data[9] << 8)) & 0x3FFF;
+    return 0;
+}
+
+// Full keyframe entropy decode.
+//
+// Inputs: bitstream + spec tables. Outputs sized for mbw*mbh macroblocks
+// (mbw = ceil(w/16) etc., computed by the caller from vp8_parse_dims):
+//   header_out[16]: width,height,mbw,mbh,filter_type,filter_level,sharpness,
+//                   lf_adjust,ref_delta0,mode_delta0,segments_enabled,
+//                   seg_absdelta (1 = absolute), reserved...
+//   seg_out[4*8]: per segment: quantizer_level, loopfilter_level, ydc, yac,
+//                 y2dc, y2ac, uvdc, uvac
+//   luma_mode[nmb], chroma_mode[nmb], segment_ids[nmb], bpred[nmb*16],
+//   skipped[nmb], non_zero[nmb], has_ac[nmb*24], coeffs[nmb*24*16]
+// Returns 0 on success, negative error code otherwise.
+int vp8_entropy_decode(const uint8_t* data, int len, const uint8_t* default_probs,
+                       const uint8_t* update_probs, const uint8_t* bpred_probs,
+                       const int16_t* dc_qtable, const int16_t* ac_qtable,
+                       int32_t* header_out, int32_t* seg_out, int32_t* luma_mode,
+                       int32_t* chroma_mode, int32_t* segment_ids, int32_t* bpred,
+                       uint8_t* skipped, uint8_t* non_zero, uint8_t* has_ac, int32_t* coeffs) {
+    int32_t w, h;
+    int rc = vp8_parse_dims(data, len, &w, &h);
+    if (rc) return rc;
+    uint32_t tag = data[0] | (data[1] << 8) | (data[2] << 16);
+    int first_part_size = tag >> 5;
+    if (10 + first_part_size > len) return -4;
+
+    int mbw = (w + 15) / 16;
+    int mbh = (h + 15) / 16;
+    int nmb = mbw * mbh;
+
+    BoolDec b;
+    b.init(data + 10, first_part_size);
+
+    if (b.get_literal(1) != 0) return -5;  // color space
+    b.get_literal(1);                       // pixel type
+
+    Segment segs[4];
+    bool segments_enabled = b.get_flag();
+    bool segments_update_map = false;
+    uint8_t seg_tree_probs[3] = {255, 255, 255};
+    if (segments_enabled) {
+        segments_update_map = b.get_flag();
+        if (b.get_flag()) {
+            bool absolute = b.get_flag();
+            for (int i = 0; i < 4; i++) segs[i].delta_values = !absolute;
+            for (int i = 0; i < 4; i++) segs[i].quantizer_level = b.get_signed(7);
+            for (int i = 0; i < 4; i++) segs[i].loopfilter_level = b.get_signed(6);
+        }
+        if (segments_update_map) {
+            for (int i = 0; i < 3; i++)
+                seg_tree_probs[i] = b.get_flag() ? b.get_literal(8) : 255;
+        }
+    }
+
+    int filter_type = b.get_flag();
+    int filter_level = b.get_literal(6);
+    int sharpness = b.get_literal(3);
+    int lf_adjust = b.get_flag();
+    int ref_delta0 = 0, mode_delta0 = 0;
+    if (lf_adjust) {
+        if (b.get_flag()) {
+            int rd[4], md[4];
+            for (int i = 0; i < 4; i++) rd[i] = b.get_signed(6);
+            for (int i = 0; i < 4; i++) md[i] = b.get_signed(6);
+            ref_delta0 = rd[0];
+            mode_delta0 = md[0];
+        }
+    }
+
+    int num_partitions = 1 << b.get_literal(2);
+    // Partition boundaries.
+    const uint8_t* part_base = data + 10 + first_part_size;
+    int remaining = len - 10 - first_part_size;
+    BoolDec parts[8];
+    {
+        int sizes[8];
+        int total_table = 3 * (num_partitions - 1);
+        if (total_table > remaining) return -6;
+        const uint8_t* ptr = part_base;
+        for (int i = 0; i < num_partitions - 1; i++) {
+            sizes[i] = ptr[0] | (ptr[1] << 8) | (ptr[2] << 16);
+            ptr += 3;
+        }
+        remaining -= total_table;
+        for (int i = 0; i < num_partitions - 1; i++) {
+            if (sizes[i] > remaining) return -7;
+            parts[i].init(ptr, sizes[i]);
+            ptr += sizes[i];
+            remaining -= sizes[i];
+        }
+        parts[num_partitions - 1].init(ptr, remaining);
+    }
+
+    // Quantizer indices.
+    int yac_abs = b.get_literal(7);
+    int ydc_d = b.get_signed(4);
+    int y2dc_d = b.get_signed(4);
+    int y2ac_d = b.get_signed(4);
+    int uvdc_d = b.get_signed(4);
+    int uvac_d = b.get_signed(4);
+    auto clampq = [](int i) { return i < 0 ? 0 : (i > 127 ? 127 : i); };
+    int nseg = segments_enabled ? 4 : 1;
+    for (int i = 0; i < nseg; i++) {
+        int base = segments_enabled
+                       ? (segs[i].delta_values ? segs[i].quantizer_level + yac_abs
+                                               : segs[i].quantizer_level)
+                       : yac_abs;
+        segs[i].ydc = dc_qtable[clampq(base + ydc_d)];
+        segs[i].yac = ac_qtable[clampq(base)];
+        segs[i].y2dc = dc_qtable[clampq(base + y2dc_d)] * 2;
+        int y2ac = ac_qtable[clampq(base + y2ac_d)] * 155 / 100;
+        segs[i].y2ac = y2ac < 8 ? 8 : y2ac;
+        int uvdc = dc_qtable[clampq(base + uvdc_d)];
+        segs[i].uvdc = uvdc > 132 ? 132 : uvdc;
+        segs[i].uvac = ac_qtable[clampq(base + uvac_d)];
+    }
+
+    b.get_literal(1);  // refresh entropy probs
+
+    // Token probability updates.
+    uint8_t probs[4 * 8 * 3 * 11];
+    memcpy(probs, default_probs, sizeof(probs));
+    for (int i = 0; i < 4 * 8 * 3 * 11; i++) {
+        if (b.get_bit(update_probs[i])) probs[i] = b.get_literal(8);
+    }
+
+    int prob_skip_false = -1;
+    if (b.get_literal(1) == 1) prob_skip_false = b.get_literal(8);
+
+    // Per-MB entropy loop.
+    int32_t* top_bpred = new int32_t[mbw * 4];
+    int32_t* top_c = new int32_t[mbw * 9];
+    for (int i = 0; i < mbw * 4; i++) top_bpred[i] = 0;
+    for (int i = 0; i < mbw * 9; i++) top_c[i] = 0;
+    int error = 0;
+
+    for (int mby = 0; mby < mbh && !error; mby++) {
+        BoolDec& part = parts[mby % num_partitions];
+        int32_t left_bpred[4] = {0, 0, 0, 0};
+        int32_t left_c[9] = {0};
+        for (int mbx = 0; mbx < mbw && !error; mbx++) {
+            int i = mby * mbw + mbx;
+            int seg_id = 0;
+            if (segments_enabled && segments_update_map)
+                seg_id = b.read_tree(SEGMENT_TREE, seg_tree_probs);
+            segment_ids[i] = seg_id;
+            int skip = 0;
+            if (prob_skip_false >= 0) skip = b.get_bit(prob_skip_false);
+            skipped[i] = (uint8_t)skip;
+
+            int luma = b.read_tree(YMODE_TREE, YMODE_PROBS);
+            luma_mode[i] = luma;
+            if (luma == 4) {
+                for (int sy = 0; sy < 4; sy++) {
+                    for (int sx = 0; sx < 4; sx++) {
+                        int above = top_bpred[mbx * 4 + sx];
+                        int left = left_bpred[sy];
+                        int m = b.read_tree(BPRED_TREE,
+                                            bpred_probs + (above * 10 + left) * 9);
+                        bpred[i * 16 + sy * 4 + sx] = m;
+                        top_bpred[mbx * 4 + sx] = m;
+                        left_bpred[sy] = m;
+                    }
+                }
+            } else {
+                static const int LUMA_TO_B[4] = {0, 2, 3, 1};  // DC,VE,HE,TM
+                int bm = LUMA_TO_B[luma];
+                for (int k = 0; k < 12; k++) bpred[i * 16 + k] = 0;
+                for (int k = 12; k < 16; k++) bpred[i * 16 + k] = bm;
+                for (int sy = 0; sy < 4; sy++) left_bpred[sy] = bm;
+                for (int sx = 0; sx < 4; sx++) top_bpred[mbx * 4 + sx] = bm;
+            }
+            chroma_mode[i] = b.read_tree(UV_TREE, UV_PROBS);
+
+            int32_t* mb_coeffs = coeffs + (size_t)i * 24 * 16;
+            uint8_t* mb_has_ac = has_ac + (size_t)i * 24;
+            memset(mb_coeffs, 0, 24 * 16 * sizeof(int32_t));
+            memset(mb_has_ac, 0, 24);
+
+            if (skip) {
+                if (luma != 4) {
+                    left_c[0] = 0;
+                    top_c[mbx * 9] = 0;
+                }
+                for (int k = 1; k < 9; k++) {
+                    left_c[k] = 0;
+                    top_c[mbx * 9 + k] = 0;
+                }
+                non_zero[i] = 0;
+                continue;
+            }
+
+            const Segment& sg = segs[seg_id];
+            int plane, first;
+            int nz = 0;
+            if (luma != 4) {
+                int ctx = top_c[mbx * 9] + left_c[0];
+                int32_t y2[16];
+                memset(y2, 0, sizeof(y2));
+                int n = read_coeffs(part, probs + 1 * 8 * 3 * 11, ctx, sg.y2dc, sg.y2ac, 0,
+                                    y2, &error);
+                left_c[0] = top_c[mbx * 9] = n;
+                iwht4x4(y2);
+                for (int k = 0; k < 16; k++) mb_coeffs[k * 16] = y2[k];
+                plane = 0;
+                first = 1;
+            } else {
+                plane = 3;
+                first = 0;
+            }
+
+            for (int y = 0; y < 4; y++) {
+                int left = left_c[y + 1];
+                for (int x = 0; x < 4; x++) {
+                    int bi = y * 4 + x;
+                    int ctx = top_c[mbx * 9 + x + 1] + left;
+                    int32_t* blk = mb_coeffs + bi * 16;
+                    int32_t save_dc = blk[0];
+                    int n = read_coeffs(part, probs + plane * 8 * 3 * 11, ctx, sg.ydc,
+                                        sg.yac, first, blk, &error);
+                    if (first) blk[0] = save_dc;  // DC comes from Y2
+                    mb_has_ac[bi] = (uint8_t)n;
+                    if (blk[0] != 0 || n) nz = 1;
+                    left = n;
+                    top_c[mbx * 9 + x + 1] = n;
+                }
+                left_c[y + 1] = left;
+            }
+            for (int half = 0; half < 2; half++) {
+                int j = half == 0 ? 5 : 7;
+                int base = half == 0 ? 16 : 20;
+                for (int y = 0; y < 2; y++) {
+                    int left = left_c[y + j];
+                    for (int x = 0; x < 2; x++) {
+                        int bi = base + y * 2 + x;
+                        int ctx = top_c[mbx * 9 + x + j] + left;
+                        int32_t* blk = mb_coeffs + bi * 16;
+                        int n = read_coeffs(part, probs + 2 * 8 * 3 * 11, ctx, sg.uvdc,
+                                            sg.uvac, 0, blk, &error);
+                        mb_has_ac[bi] = (uint8_t)n;
+                        if (blk[0] != 0 || n) nz = 1;
+                        left = n;
+                        top_c[mbx * 9 + x + j] = n;
+                    }
+                    left_c[y + j] = left;
+                }
+            }
+            non_zero[i] = (uint8_t)nz;
+        }
+    }
+
+    delete[] top_bpred;
+    delete[] top_c;
+    if (error) return -8;
+
+    header_out[0] = w;
+    header_out[1] = h;
+    header_out[2] = mbw;
+    header_out[3] = mbh;
+    header_out[4] = filter_type;
+    header_out[5] = filter_level;
+    header_out[6] = sharpness;
+    header_out[7] = lf_adjust;
+    header_out[8] = ref_delta0;
+    header_out[9] = mode_delta0;
+    header_out[10] = segments_enabled;
+    header_out[11] = segments_update_map;
+    for (int i = 0; i < 4; i++) {
+        seg_out[i * 8 + 0] = segs[i].quantizer_level;
+        seg_out[i * 8 + 1] = segs[i].loopfilter_level;
+        seg_out[i * 8 + 2] = segs[i].ydc;
+        seg_out[i * 8 + 3] = segs[i].yac;
+        seg_out[i * 8 + 4] = segs[i].y2dc;
+        seg_out[i * 8 + 5] = segs[i].y2ac;
+        seg_out[i * 8 + 6] = segs[i].uvdc;
+        seg_out[i * 8 + 7] = segs[i].uvac;
+    }
+    // delta_values flag per segment packed into header_out[12].
+    header_out[12] = (segs[0].delta_values ? 1 : 0) | (segs[1].delta_values ? 2 : 0) |
+                     (segs[2].delta_values ? 4 : 0) | (segs[3].delta_values ? 8 : 0);
+    return 0;
+}
+
+// ---------------------------------------------------------------- encoder
+
+struct BoolEnc {
+    uint8_t* out;
+    int cap;
+    int len;
+    uint32_t bottom;
+    uint32_t range;
+    int bit_num;
+    int overflow;
+
+    void init(uint8_t* buf, int capacity) {
+        out = buf;
+        cap = capacity;
+        len = 0;
+        bottom = 0;
+        range = 255;
+        bit_num = 24;
+        overflow = 0;
+    }
+    void carry() {
+        int i = len - 1;
+        while (i >= 0) {
+            if (out[i] < 255) {
+                out[i]++;
+                return;
+            }
+            out[i] = 0;
+            i--;
+        }
+        // prepend 0x01
+        if (len + 1 > cap) {
+            overflow = 1;
+            return;
+        }
+        memmove(out + 1, out, len);
+        out[0] = 1;
+        len++;
+    }
+    void push(uint8_t byte) {
+        if (len >= cap) {
+            overflow = 1;
+            return;
+        }
+        out[len++] = byte;
+    }
+    void write_bool(int bit, int prob) {
+        uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
+        if (bit) {
+            bottom += split;
+            range -= split;
+        } else {
+            range = split;
+        }
+        while (range < 128) {
+            range <<= 1;
+            if (bottom & (1u << 31)) carry();
+            bottom <<= 1;
+            if (--bit_num == 0) {
+                push((uint8_t)(bottom >> 24));
+                bottom &= (1u << 24) - 1;
+                bit_num = 8;
+            }
+        }
+    }
+    void flush() {
+        int c = bit_num;
+        uint32_t v = bottom;
+        if (v & (1u << (32 - c))) carry();
+        v <<= (c & 7);
+        c = (c >> 3) - 1;
+        while (c >= 0) {
+            v <<= 8;
+            c--;
+        }
+        for (int i = 0; i < 4; i++) {
+            push((uint8_t)(v >> 24));
+            v <<= 8;
+        }
+    }
+};
+
+// DCT token tree (leaf -token): token ids 0=EOB, 1="0", 2.."4"+, 6..11 cats.
+const int8_t TOKEN_TREE[22] = {0,  2,  -1, 4,  -2, 6,  8,  12, -3, 10, -4,
+                               -5, 14, 16, -6, -7, 18, 20, -8, -9, -10, -11};
+const uint8_t DCT_CAT_BASE[6] = {5, 7, 11, 19, 35, 67};
+
+// Precomputed token paths: [start 0|2][token][k] -> (bit<<4)|node, 0xFF end.
+struct TokenPaths {
+    uint8_t path[2][12][12];
+    TokenPaths() {
+        memset(path, 0xFF, sizeof(path));
+        for (int s = 0; s < 2; s++) {
+            int start = s * 2;
+            build(start, start, 0, nullptr, s);
+        }
+    }
+    void build(int start, int idx, int depth, uint8_t* prefix, int s) {
+        static uint8_t buf[12];
+        if (prefix == nullptr) prefix = buf;
+        for (int bit = 0; bit < 2; bit++) {
+            prefix[depth] = (uint8_t)((bit << 4) | (idx >> 1));
+            int t = TOKEN_TREE[idx + bit];
+            if (t <= 0) {
+                int token = -t;
+                for (int k = 0; k <= depth; k++) path[s][token][k] = prefix[k];
+                if (depth + 1 < 12) path[s][token][depth + 1] = 0xFF;
+            } else {
+                build(start, t, depth + 1, prefix, s);
+            }
+        }
+    }
+};
+const TokenPaths TOKEN_PATHS;
+
+static inline void write_token(BoolEnc& e, const uint8_t* probs11, int token, int start) {
+    const uint8_t* p = TOKEN_PATHS.path[start >> 1][token];
+    for (int k = 0; k < 12 && p[k] != 0xFF; k++)
+        e.write_bool(p[k] >> 4, probs11[p[k] & 0xF]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode quantized level blocks into a boolean-coded partition.
+//
+// levels: [n_blocks][16] zigzag-order levels.
+// meta:   [n_blocks][4]: plane (0..3), first (0/1), ctx (0..2), unused.
+// probs:  [4][8][3][11] token probabilities.
+// out:    caller-allocated buffer; returns written length or negative error.
+int vp8_token_encode(const int32_t* levels, const int32_t* meta, int n_blocks,
+                     const uint8_t* probs, uint8_t* out, int out_cap) {
+    BoolEnc e;
+    e.init(out, out_cap);
+    for (int bi = 0; bi < n_blocks; bi++) {
+        const int32_t* blk = levels + bi * 16;
+        int plane = meta[bi * 4 + 0];
+        int first = meta[bi * 4 + 1];
+        int ctx = meta[bi * 4 + 2];
+        const uint8_t* plane_probs = probs + plane * 8 * 3 * 11;
+
+        int end = 0;
+        for (int k = 15; k >= 0; k--)
+            if (blk[k] != 0) {
+                end = k + 1;
+                break;
+            }
+        int skip_eob = 0;
+        int complexity = ctx;
+        for (int i = first; i < end; i++) {
+            int coeff = blk[i];
+            int v = coeff < 0 ? -coeff : coeff;
+            const uint8_t* p = plane_probs + (COEFF_BANDS[i] * 3 + complexity) * 11;
+            int start = skip_eob ? 2 : 0;
+            int token;
+            if (v <= 4)
+                token = 1 + v;
+            else if (v <= 6)
+                token = 6;
+            else if (v <= 10)
+                token = 7;
+            else if (v <= 18)
+                token = 8;
+            else if (v <= 34)
+                token = 9;
+            else if (v <= 66)
+                token = 10;
+            else
+                token = 11;
+            write_token(e, p, token, start);
+            if (token == 1) {  // zero
+                skip_eob = 1;
+                complexity = 0;
+                continue;
+            }
+            skip_eob = 0;
+            if (token >= 6) {
+                int cat = token - 6;
+                int extra = v - DCT_CAT_BASE[cat];
+                int nbits = CAT_BITS[cat];
+                for (int b2 = nbits - 1; b2 >= 0; b2--)
+                    e.write_bool((extra >> b2) & 1, CAT_PROBS[cat][nbits - 1 - b2]);
+            }
+            e.write_bool(coeff < 0 ? 1 : 0, 128);
+            complexity = v == 1 ? 1 : 2;
+        }
+        if (end < 16) {
+            int band_idx = first > end ? first : end;
+            const uint8_t* p = plane_probs + (COEFF_BANDS[band_idx] * 3 + complexity) * 11;
+            write_token(e, p, 0, 0);  // EOB
+        }
+    }
+    e.flush();
+    if (e.overflow) return -1;
+    return e.len;
+}
+
+}  // extern "C"

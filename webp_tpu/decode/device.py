@@ -50,18 +50,9 @@ def _device_decode(
 def decode_vp8_frame_device(data: bytes):
     """Decode a VP8 chunk with the device pipeline; returns (VP8Frame, rgb)."""
     dec = Vp8Decoder(bytes(data))
-    dec._read_frame_header()
-    dec._entropy_pass()
+    dec.parse(allow_native=True)
 
-    nmb = dec.mbw * dec.mbh
-    level = np.zeros(nmb, np.int32)
-    interior = np.zeros(nmb, np.int32)
-    hev = np.zeros(nmb, np.int32)
-    for i in range(nmb):
-        l, it, hv = dec._filter_params(i)
-        level[i], interior[i], hev[i] = l, it, hv
-    if dec.filter_level == 0:
-        level[:] = 0
+    level, interior, hev = dec.filter_params_arrays()
     do_sub = (dec.luma_mode == 4) | (~dec.skipped & dec.non_zero_dct)
 
     y, u, v, rgb = _device_decode(

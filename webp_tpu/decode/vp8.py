@@ -83,12 +83,51 @@ class Vp8Decoder:
     # ------------------------------------------------------------------ header
 
     def decode(self) -> VP8Frame:
-        self._read_frame_header()
-        self._entropy_pass()
+        self.parse(allow_native=True)
         residuals = self._transform_pass()
         frame = self._reconstruct(residuals)
         self._loop_filter(frame)
         return frame
+
+    def parse(self, allow_native: bool = True) -> None:
+        """Header + entropy pass, via the C++ hot loop when available."""
+        if allow_native:
+            try:
+                from ..io import native
+
+                if native.available():
+                    self._adopt_native(native.vp8_entropy_decode(self.data))
+                    return
+            except Exception:
+                pass
+        self._read_frame_header()
+        self._entropy_pass()
+
+    def _adopt_native(self, r) -> None:
+        self.width, self.height = int(r.width), int(r.height)
+        self.mbw, self.mbh = int(r.mbw), int(r.mbh)
+        self.filter_type = r.filter_type
+        self.filter_level = r.filter_level
+        self.sharpness = r.sharpness
+        self.lf_adjust = r.lf_adjust
+        self.ref_delta = [r.ref_delta0, 0, 0, 0]
+        self.mode_delta = [r.mode_delta0, 0, 0, 0]
+        self.segments_enabled = r.segments_enabled
+        self.segments_update_map = r.segments_update_map
+        for i, s in enumerate(self.segments):
+            row = r.segments[i]
+            s.quantizer_level = int(row[0])
+            s.loopfilter_level = int(row[1])
+            s.delta_values = r.seg_delta_values[i]
+            s.ydc, s.yac, s.y2dc, s.y2ac, s.uvdc, s.uvac = (int(v) for v in row[2:8])
+        self.luma_mode = r.luma_mode
+        self.chroma_mode = r.chroma_mode
+        self.segment_ids = r.segment_ids
+        self.bpred = r.bpred
+        self.skipped = r.skipped
+        self.non_zero_dct = r.non_zero
+        self.has_ac = r.has_ac
+        self.coeffs = r.coeffs
 
     def _read_frame_header(self):
         data = self.data
@@ -498,6 +537,29 @@ class Vp8Decoder:
         interior = max(interior, 1)
         hev = 2 if level >= 40 else (1 if level >= 15 else 0)
         return level, interior, hev
+
+    def filter_params_arrays(self):
+        """Vectorized per-MB (level, interior, hev) filter parameters."""
+        nmb = self.mbw * self.mbh
+        seg_lf = np.array([s.loopfilter_level for s in self.segments], np.int32)
+        seg_delta = np.array([s.delta_values for s in self.segments], bool)
+        sid = self.segment_ids
+        level = np.full(nmb, self.filter_level, np.int32)
+        if self.segments_enabled:
+            level = np.where(seg_delta[sid], self.filter_level + seg_lf[sid], seg_lf[sid])
+        level = np.clip(level, 0, 63)
+        if self.lf_adjust:
+            level = level + self.ref_delta[0] + np.where(self.luma_mode == 4, self.mode_delta[0], 0)
+        level = np.clip(level, 0, 63)
+        interior = level.copy()
+        if self.sharpness > 0:
+            interior >>= 2 if self.sharpness > 4 else 1
+            interior = np.minimum(interior, 9 - self.sharpness)
+        interior = np.maximum(interior, 1)
+        hev = np.where(level >= 40, 2, np.where(level >= 15, 1, 0)).astype(np.int32)
+        if self.filter_level == 0:
+            level = np.zeros(nmb, np.int32)
+        return level, interior.astype(np.int32), hev
 
     def _loop_filter(self, frame):
         if self.filter_level == 0:

@@ -1,0 +1,159 @@
+"""ctypes bindings for the native (C++) entropy hot loops.
+
+The boolean arithmetic coder is the codec's serial tail; `native/
+vp8_entropy.cpp` runs it at native speed while all tables stay single-sourced
+in Python. Falls back gracefully (callers check `available()`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..common import vp8_tables as T
+
+_ROOT = Path(__file__).resolve().parent.parent.parent
+_SRC = _ROOT / "native" / "vp8_entropy.cpp"
+_LIB_PATH = _ROOT / "native" / "libwebp_tpu_native.so"
+
+_lib = None
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SRC)],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vp8_parse_dims.restype = ctypes.c_int
+    lib.vp8_parse_dims.argtypes = [u8p, ctypes.c_int, i32p, i32p]
+    lib.vp8_entropy_decode.restype = ctypes.c_int
+    lib.vp8_entropy_decode.argtypes = [
+        u8p, ctypes.c_int, u8p, u8p, u8p, i16p, i16p,
+        i32p, i32p, i32p, i32p, i32p, i32p, u8p, u8p, u8p, i32p,
+    ]
+    lib.vp8_token_encode.restype = ctypes.c_int
+    lib.vp8_token_encode.argtypes = [i32p, i32p, ctypes.c_int, u8p, u8p, ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+_DEFAULT_PROBS = np.ascontiguousarray(T.COEFF_PROBS_DEFAULT, dtype=np.uint8)
+_UPDATE_PROBS = np.ascontiguousarray(T.COEFF_UPDATE_PROBS, dtype=np.uint8)
+_BPRED_PROBS = np.ascontiguousarray(T.KEYFRAME_BPRED_MODE_PROBS, dtype=np.uint8)
+_DC_Q = np.ascontiguousarray(T.DC_QUANT, dtype=np.int16)
+_AC_Q = np.ascontiguousarray(T.AC_QUANT, dtype=np.int16)
+
+
+class EntropyResult:
+    __slots__ = (
+        "width", "height", "mbw", "mbh", "filter_type", "filter_level",
+        "sharpness", "lf_adjust", "ref_delta0", "mode_delta0",
+        "segments_enabled", "segments_update_map", "seg_delta_values",
+        "segments", "luma_mode", "chroma_mode", "segment_ids", "bpred",
+        "skipped", "non_zero", "has_ac", "coeffs",
+    )
+
+
+def vp8_entropy_decode(data: bytes) -> EntropyResult:
+    """Run the full VP8 keyframe entropy pass in C++."""
+    lib = _load()
+    buf = np.frombuffer(bytes(data), np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    rc = lib.vp8_parse_dims(_p(buf, ctypes.c_uint8), len(buf), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"vp8_parse_dims failed: {rc}")
+    mbw = (w.value + 15) // 16
+    mbh = (h.value + 15) // 16
+    nmb = mbw * mbh
+
+    header = np.zeros(16, np.int32)
+    seg = np.zeros(32, np.int32)
+    luma_mode = np.zeros(nmb, np.int32)
+    chroma_mode = np.zeros(nmb, np.int32)
+    segment_ids = np.zeros(nmb, np.int32)
+    bpred = np.zeros((nmb, 16), np.int32)
+    skipped = np.zeros(nmb, np.uint8)
+    non_zero = np.zeros(nmb, np.uint8)
+    has_ac = np.zeros((nmb, 24), np.uint8)
+    coeffs = np.zeros((nmb, 24, 16), np.int32)
+
+    rc = lib.vp8_entropy_decode(
+        _p(buf, ctypes.c_uint8), len(buf),
+        _p(_DEFAULT_PROBS, ctypes.c_uint8), _p(_UPDATE_PROBS, ctypes.c_uint8),
+        _p(_BPRED_PROBS, ctypes.c_uint8), _p(_DC_Q, ctypes.c_int16), _p(_AC_Q, ctypes.c_int16),
+        _p(header, ctypes.c_int32), _p(seg, ctypes.c_int32),
+        _p(luma_mode, ctypes.c_int32), _p(chroma_mode, ctypes.c_int32),
+        _p(segment_ids, ctypes.c_int32), _p(bpred, ctypes.c_int32),
+        _p(skipped, ctypes.c_uint8), _p(non_zero, ctypes.c_uint8),
+        _p(has_ac, ctypes.c_uint8), _p(coeffs, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError(f"vp8_entropy_decode failed: {rc}")
+
+    r = EntropyResult()
+    r.width, r.height, r.mbw, r.mbh = header[0], header[1], header[2], header[3]
+    r.filter_type = bool(header[4])
+    r.filter_level = int(header[5])
+    r.sharpness = int(header[6])
+    r.lf_adjust = bool(header[7])
+    r.ref_delta0 = int(header[8])
+    r.mode_delta0 = int(header[9])
+    r.segments_enabled = bool(header[10])
+    r.segments_update_map = bool(header[11])
+    r.seg_delta_values = [bool(header[12] & (1 << i)) for i in range(4)]
+    r.segments = seg.reshape(4, 8)
+    r.luma_mode = luma_mode
+    r.chroma_mode = chroma_mode
+    r.segment_ids = segment_ids
+    r.bpred = bpred
+    r.skipped = skipped.astype(bool)
+    r.non_zero = non_zero.astype(bool)
+    r.has_ac = has_ac.astype(bool)
+    r.coeffs = coeffs
+    return r
+
+
+def vp8_token_encode(levels: np.ndarray, meta: np.ndarray, probs: np.ndarray) -> bytes:
+    """Boolean-encode [N, 16] level blocks with [N, 4] (plane, first, ctx, _)."""
+    lib = _load()
+    levels = np.ascontiguousarray(levels, np.int32)
+    meta = np.ascontiguousarray(meta, np.int32)
+    probs = np.ascontiguousarray(probs, np.uint8)
+    cap = max(levels.size * 8, 4096)
+    out = np.zeros(cap, np.uint8)
+    n = lib.vp8_token_encode(
+        _p(levels, ctypes.c_int32), _p(meta, ctypes.c_int32), len(levels),
+        _p(probs, ctypes.c_uint8), _p(out, ctypes.c_uint8), cap,
+    )
+    if n < 0:
+        raise ValueError("vp8_token_encode overflow")
+    return out[:n].tobytes()
