@@ -72,9 +72,10 @@ class MBInfo:
 
 
 class Vp8Encoder:
-    def __init__(self, quality: int = 75, method: int = 4):
+    def __init__(self, quality: int = 75, method: int = 4, backend: str = "python"):
         self.quality = quality
         self.method = min(method, 6)
+        self.backend = backend  # "python" | "device"
 
     # ------------------------------------------------------------- helpers
 
@@ -128,17 +129,198 @@ class Vp8Encoder:
         self.level_costs = C.LevelCosts(self.probs)
         self.stats = C.ProbaStats()
 
-        # Mode-decision + reconstruction pass; caches levels per MB.
-        self.mbs = self._analysis_pass()
+        # Mode-decision + reconstruction pass -> per-MB arrays.
+        arrays = self._analysis_arrays()
 
-        # Adaptive probabilities from recorded statistics.
-        self._record_stats_and_skip()
+        # Vectorized nnz contexts + skip flags.
+        from .contexts import compute_contexts
+
+        skipped = (
+            (arrays["y_levels"] == 0).all(axis=(1, 2))
+            & (arrays["uv_levels"] == 0).all(axis=(1, 2))
+            & (arrays["y2_levels"] == 0).all(axis=1)
+        )
+        ctx = compute_contexts(
+            arrays["luma_mode"], arrays["y2_levels"], arrays["y_levels"],
+            arrays["uv_levels"], skipped, self.mbw, self.mbh,
+        )
+        arrays["skipped"] = skipped
+
+        # Adaptive probabilities from batched statistics.
+        self._record_stats_arrays(arrays, ctx)
+        total = len(skipped)
+        non_skip = int(total - skipped.sum())
+        prob = (255 * non_skip + total // 2) // total if total else 255
+        self.skip_prob = min(max(prob, 1), 254)
         new_probs = self.stats.updated_probs(self.probs)
 
         # Entropy-code everything.
-        return self._write_bitstream(new_probs)
+        return self._write_bitstream_arrays(arrays, ctx, new_probs)
+
+    def _analysis_arrays(self):
+        """Run mode decision; returns per-MB arrays (device or python)."""
+        if self.backend == "device":
+            from ..ops.encode_wavefront import EncTables, EncParams, encode_analysis_frame
+            import jax.numpy as jnp
+
+            n_try = 0 if self.method <= 1 else (
+                3 if self.method <= 3 else (4 if self.method == 4 else 10)
+            )
+            out = encode_analysis_frame(
+                jnp.asarray(self.ybuf), jnp.asarray(self.ubuf), jnp.asarray(self.vbuf),
+                EncParams(self.seg), EncTables.default(), self.mbw, self.mbh, n_try,
+            )
+            arrays = {k: np.asarray(v) for k, v in out.items()}
+            # Device path leaves y2 zeroed for B MBs already.
+            return arrays
+
+        mbs = self._analysis_pass()
+        nmb = len(mbs)
+        arrays = dict(
+            luma_mode=np.array(
+                [4 if m.luma_mode == B else m.luma_mode for m in mbs], np.int32
+            ),
+            chroma_mode=np.array([m.chroma_mode for m in mbs], np.int32),
+            bpred=np.stack(
+                [m.bpred if m.bpred is not None else np.zeros(16, np.int32) for m in mbs]
+            ).astype(np.int32),
+            y2_levels=np.stack(
+                [
+                    m.y2_levels if m.y2_levels is not None else np.zeros(16, np.int32)
+                    for m in mbs
+                ]
+            ),
+            y_levels=np.stack([m.y_levels for m in mbs]),
+            uv_levels=np.stack([m.uv_levels for m in mbs]),
+        )
+        return arrays
+
+    def _record_stats_arrays(self, arrays, ctx):
+        """Batched token statistics over all non-skipped blocks."""
+        act = ~arrays["skipped"]
+        has_y2 = ctx["has_y2"]
+        y2_sel = act & has_y2
+        if y2_sel.any():
+            self.stats.record_blocks(
+                arrays["y2_levels"][y2_sel], 1, 0, ctx["y2_ctx"][y2_sel]
+            )
+        for plane, first, sel in ((0, 1, act & has_y2), (3, 0, act & ~has_y2)):
+            if sel.any():
+                lv = arrays["y_levels"][sel].reshape(-1, 16)
+                cc = ctx["y_ctx"][sel].reshape(-1)
+                self.stats.record_blocks(lv, plane, first, cc)
+        if act.any():
+            lv = arrays["uv_levels"][act].reshape(-1, 16)
+            cc = ctx["uv_ctx"][act].reshape(-1)
+            self.stats.record_blocks(lv, 2, 0, cc)
+
+    # ----------------------------------------------------- token stream
+
+    def _token_stream(self, arrays, ctx):
+        """Assemble (levels [N,16], meta [N,4]) in bitstream block order."""
+        nmb = self.mbw * self.mbh
+        has_y2 = ctx["has_y2"]
+        act = ~arrays["skipped"]
+
+        all_levels = np.concatenate(
+            [arrays["y2_levels"][:, None, :], arrays["y_levels"], arrays["uv_levels"]],
+            axis=1,
+        )  # [nmb, 25, 16]
+        plane = np.zeros((nmb, 25), np.int32)
+        plane[:, 0] = 1
+        plane[:, 1:17] = np.where(has_y2, 0, 3)[:, None]
+        plane[:, 17:] = 2
+        first = np.zeros((nmb, 25), np.int32)
+        first[:, 1:17] = np.where(has_y2, 1, 0)[:, None]
+        ctxs = np.concatenate(
+            [ctx["y2_ctx"][:, None], ctx["y_ctx"], ctx["uv_ctx"]], axis=1
+        ).astype(np.int32)
+        valid = np.ones((nmb, 25), bool)
+        valid[:, 0] = has_y2
+        valid &= act[:, None]
+
+        sel = valid.reshape(-1)
+        levels = all_levels.reshape(-1, 16)[sel]
+        meta = np.zeros((len(levels), 4), np.int32)
+        meta[:, 0] = plane.reshape(-1)[sel]
+        meta[:, 1] = first.reshape(-1)[sel]
+        meta[:, 2] = ctxs.reshape(-1)[sel]
+        return levels, meta
 
     # -------------------------------------------------- mode decision pass
+
+    # Zigzag-block diagonals for exact-context batched trellis inside an MB.
+    _I16_DIAGS = [
+        [(x, y) for x in range(4) for y in range(4) if x + y == t] for t in range(7)
+    ]
+
+    def _trellis_i16(self, dct_blocks, y2_r, pred, top_cy_mb, left_cy):
+        """Trellis-requantize the 16 Y blocks of an I16 MB with exact contexts
+        (blocks on a (x+y) diagonal are context-independent -> 7 batched DP
+        calls), then reconstruct. Returns (levels [16,16], rec, nnz [4,4])."""
+        from .trellis import trellis_quantize
+
+        seg = self.seg
+        nnz = np.zeros((4, 4), np.int64)  # [y][x]
+        levels = np.zeros((16, 16), np.int32)
+        for diag in self._I16_DIAGS:
+            idxs = [y * 4 + x for (x, y) in diag]
+            ctxs = np.array(
+                [
+                    (top_cy_mb[x] if y == 0 else nnz[y - 1, x])
+                    + (left_cy[y] if x == 0 else nnz[y, x - 1])
+                    for (x, y) in diag
+                ],
+                np.int64,
+            )
+            lv, has = trellis_quantize(
+                dct_blocks[idxs], seg.y1, seg.lambda_trellis_i16, 1,
+                self.level_costs, 0, ctxs,
+            )
+            levels[idxs] = lv
+            for k, (x, y) in enumerate(diag):
+                nnz[y, x] = 1 if has[k] else 0
+        blk = self._zz_dequantize(seg.y1, levels)
+        blk[:, 0] = y2_r
+        res = tx.idct4x4(blk)
+        rec = np.clip(
+            pred.astype(np.int32)
+            + res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16),
+            0,
+            255,
+        ).astype(np.uint8)
+        return levels, rec, nnz
+
+    def _trellis_i4(self, ws, src, modes, top_cy_mb, left_cy):
+        """Re-run the I4 subblock chain with trellis quantization (modes are
+        fixed from the RD pick; prediction re-derives from the trellis recon,
+        matching the reference's transform_luma_blocks_4x4 + trellis path)."""
+        from .trellis import trellis_quantize
+
+        seg = self.seg
+        nnz = np.zeros((4, 4), np.int64)
+        levels = np.zeros((16, 16), np.int32)
+        for sby in range(4):
+            for sbx in range(4):
+                bi = sby * 4 + sbx
+                x0, y0 = sbx * 4 + 1, sby * 4 + 1
+                pr.predict_b(ws, int(modes[bi]), x0, y0)
+                pred4 = ws[y0 : y0 + 4, x0 : x0 + 4].astype(np.int32)
+                sb_src = src[sby * 4 : sby * 4 + 4, sbx * 4 : sbx * 4 + 4].astype(np.int32)
+                dct = tx.dct4x4((sb_src - pred4).reshape(1, 16))
+                ctx = (top_cy_mb[sbx] if sby == 0 else nnz[sby - 1, sbx]) + (
+                    left_cy[sby] if sbx == 0 else nnz[sby, sbx - 1]
+                )
+                lv, has = trellis_quantize(
+                    dct, seg.y1, seg.lambda_trellis_i4, 0, self.level_costs, 3, [ctx]
+                )
+                levels[bi] = lv[0]
+                nnz[sby, sbx] = 1 if has[0] else 0
+                res = tx.idct4x4(self._zz_dequantize(seg.y1, lv))[0]
+                ws[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+                    pred4 + res.reshape(4, 4), 0, 255
+                ).astype(np.uint8)
+        return levels, ws[1:17, 1:17].copy(), nnz
 
     def _analysis_pass(self):
         mbw, mbh = self.mbw, self.mbh
@@ -149,7 +331,10 @@ class Vp8Encoder:
         top_u = np.full(mbw * 8, 127, np.uint8)
         top_v = np.full(mbw * 8, 127, np.uint8)
         top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
+        # Per-block-column Y nnz state for trellis contexts.
+        top_cy = np.zeros((mbw, 4), np.int64)
 
+        do_trellis = self.method >= 4
         wy = ET.VP8_WEIGHT_Y
         i4_try = 0 if self.method <= 1 else (3 if self.method <= 3 else (4 if self.method == 4 else 10))
 
@@ -412,74 +597,6 @@ class Vp8Encoder:
 
         return modes_out, levels_out, ws[1:17, 1:17].copy()
 
-    # -------------------------------------------------------- stats + skip
-
-    def _record_stats_and_skip(self):
-        mbw = self.mbw
-        top_c = np.zeros((mbw, 9), np.int64)
-        total = len(self.mbs)
-        n_skip = 0
-        for mby in range(self.mbh):
-            left_c = np.zeros(9, np.int64)
-            for mbx in range(mbw):
-                mb = self.mbs[mby * mbw + mbx]
-                if mb.skipped:
-                    n_skip += 1
-                    if mb.has_y2:
-                        left_c[0] = top_c[mbx, 0] = 0
-                    left_c[1:] = 0
-                    top_c[mbx, 1:] = 0
-                    continue
-                self._walk_mb_tokens(mb, mbx, top_c, left_c, record=True)
-        non_skip = total - n_skip
-        prob = (255 * non_skip + total // 2) // total if total else 255
-        self.skip_prob = min(max(prob, 1), 254)
-
-    def _walk_mb_tokens(self, mb, mbx, top_c, left_c, record=False, writer=None, probs=None):
-        """Shared context walk for stats recording and token writing."""
-        if mb.has_y2:
-            ctx = int(top_c[mbx, 0] + left_c[0])
-            nz = (mb.y2_levels != 0).any()
-            if record:
-                self.stats.record_blocks(mb.y2_levels[None, :], 1, 0, ctx)
-            else:
-                self._write_block(writer, mb.y2_levels, 1, 0, ctx, probs)
-            left_c[0] = top_c[mbx, 0] = 1 if nz else 0
-            plane, first = 0, 1
-        else:
-            plane, first = 3, 0
-
-        for y in range(4):
-            left = int(left_c[y + 1])
-            for x in range(4):
-                bi = y * 4 + x
-                ctx = int(top_c[mbx, x + 1]) + left
-                lv = mb.y_levels[bi]
-                nz = (lv[first:] != 0).any()
-                if record:
-                    self.stats.record_blocks(lv[None, :], plane, first, ctx)
-                else:
-                    self._write_block(writer, lv, plane, first, ctx, probs)
-                left = 1 if nz else 0
-                top_c[mbx, x + 1] = left
-            left_c[y + 1] = left
-
-        for j, base in ((5, 0), (7, 4)):
-            for y in range(2):
-                left = int(left_c[y + j])
-                for x in range(2):
-                    bi = base + y * 2 + x
-                    ctx = int(top_c[mbx, x + j]) + left
-                    lv = mb.uv_levels[bi]
-                    nz = (lv != 0).any()
-                    if record:
-                        self.stats.record_blocks(lv[None, :], 2, 0, ctx)
-                    else:
-                        self._write_block(writer, lv, 2, 0, ctx, probs)
-                    left = 1 if nz else 0
-                    top_c[mbx, x + j] = left
-                left_c[y + j] = left
-
     # ----------------------------------------------------------- bitstream
 
     def _write_block(self, enc, levels, plane, first, ctx, probs):
@@ -516,7 +633,7 @@ class Vp8Encoder:
             p = plane_probs[band][complexity]
             enc.write_with_path(_TOKEN_PATHS[0][TOK_EOB], p)
 
-    def _write_bitstream(self, new_probs) -> bytes:
+    def _write_bitstream_arrays(self, arrays, ctx, new_probs) -> bytes:
         header = BoolEncoder()
         hw = header
 
@@ -553,23 +670,24 @@ class Vp8Encoder:
         hw.write_literal(1, 1)  # mb_no_skip_coeff enabled
         hw.write_literal(8, self.skip_prob)
 
-        # MB headers (into header partition) + residuals (into partition 1).
-        part = BoolEncoder()
+        # MB headers (into the header partition).
         mbw = self.mbw
-        top_c = np.zeros((mbw, 9), np.int64)
+        luma_mode = arrays["luma_mode"]
+        chroma_mode = arrays["chroma_mode"]
+        bpred_arr = arrays["bpred"]
+        skipped = arrays["skipped"]
         top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
         for mby in range(self.mbh):
-            left_c = np.zeros(9, np.int64)
             left_bpred = np.full(4, pr.B_DC, np.int32)
             for mbx in range(mbw):
-                mb = self.mbs[mby * mbw + mbx]
-                hw.write_bool(1 if mb.skipped else 0, self.skip_prob)
-                hw.write_with_path(_YMODE_PATHS[4 if mb.luma_mode == B else mb.luma_mode],
-                                   T.KEYFRAME_YMODE_PROBS)
-                if mb.luma_mode == B:
+                i = mby * mbw + mbx
+                hw.write_bool(1 if skipped[i] else 0, self.skip_prob)
+                lm = int(luma_mode[i])
+                hw.write_with_path(_YMODE_PATHS[lm], T.KEYFRAME_YMODE_PROBS)
+                if lm == 4:
                     for sy in range(4):
                         for sx in range(4):
-                            m = int(mb.bpred[sy * 4 + sx])
+                            m = int(bpred_arr[i, sy * 4 + sx])
                             probs_ctx = T.KEYFRAME_BPRED_MODE_PROBS[
                                 int(top_bpred[mbx, sx]), int(left_bpred[sy])
                             ]
@@ -577,22 +695,28 @@ class Vp8Encoder:
                             top_bpred[mbx, sx] = m
                             left_bpred[sy] = m
                 else:
-                    bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[mb.luma_mode]
+                    bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[lm]
                     top_bpred[mbx] = bmode
                     left_bpred[:] = bmode
-                hw.write_with_path(_UV_PATHS[mb.chroma_mode], T.KEYFRAME_UV_MODE_PROBS)
+                hw.write_with_path(_UV_PATHS[int(chroma_mode[i])], T.KEYFRAME_UV_MODE_PROBS)
 
-                if mb.skipped:
-                    if mb.has_y2:
-                        left_c[0] = top_c[mbx, 0] = 0
-                    left_c[1:] = 0
-                    top_c[mbx, 1:] = 0
-                else:
-                    self._walk_mb_tokens(mb, mbx, top_c, left_c, record=False,
-                                         writer=part, probs=self.probs)
+        # Residual tokens (partition 1): native fast path, python fallback.
+        levels, meta = self._token_stream(arrays, ctx)
+        part_bytes = None
+        try:
+            from ..io import native
+
+            if native.available():
+                part_bytes = native.vp8_token_encode(levels, meta, self.probs)
+        except Exception:
+            part_bytes = None
+        if part_bytes is None:
+            part = BoolEncoder()
+            for lv, m in zip(levels, meta):
+                self._write_block(part, lv, int(m[0]), int(m[1]), int(m[2]), self.probs)
+            part_bytes = part.flush()
 
         header_bytes = header.flush()
-        part_bytes = part.flush()
 
         out = bytearray()
         tag = (len(header_bytes) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
