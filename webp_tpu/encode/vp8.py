@@ -343,6 +343,7 @@ class Vp8Encoder:
             left_u = np.full(9, 129, np.uint8)
             left_v = np.full(9, 129, np.uint8)
             left_bpred = np.full(4, pr.B_DC, np.int32)
+            left_cy = np.zeros(4, np.int64)
             for mbx in range(mbw):
                 mb = MBInfo()
                 src = self.ybuf[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
@@ -413,10 +414,11 @@ class Vp8Encoder:
                     mode_cost = ET.FIXED_COSTS_I16[mode_idx]
                     score = (mode_cost + cost) * seg.lambda_i16 + RD_DISTO_MULT * (d + sd)
                     if best is None or score < best[0]:
-                        best = (score, mode, mode_cost, cost, d, sd, y2_levels, y_levels, rec)
+                        best = (score, mode, mode_cost, cost, d, sd, y2_levels, y_levels, rec,
+                                dct, pred)
 
                 (_, i16_mode, i16_mode_cost, i16_cost, i16_d, i16_sd,
-                 i16_y2, i16_y, i16_rec) = best
+                 i16_y2, i16_y, i16_rec, i16_dct, i16_pred) = best
                 i16_score = (i16_mode_cost + i16_cost) * seg.lambda_mode + RD_DISTO_MULT * (
                     i16_d + i16_sd
                 )
@@ -438,6 +440,10 @@ class Vp8Encoder:
                     mb.y_levels = i4_levels
                     mb.y2_levels = None
                     luma_rec = i4_rec
+                    if do_trellis:
+                        mb.y_levels, luma_rec, _ = self._trellis_i4(
+                            ws0.copy(), src, bpred_modes, top_cy[mbx], left_cy
+                        )
                     top_bpred[mbx] = bpred_modes[12:]
                     left_bpred[:] = bpred_modes[3::4]
                 else:
@@ -446,9 +452,21 @@ class Vp8Encoder:
                     mb.y2_levels = i16_y2
                     mb.y_levels = i16_y
                     luma_rec = i16_rec
+                    if do_trellis:
+                        y2_dq = self._zz_dequantize(seg.y2, i16_y2[None, :])[0]
+                        y2_r = tx.iwht4x4(y2_dq[None, :])[0]
+                        mb.y_levels, luma_rec, _ = self._trellis_i16(
+                            i16_dct, y2_r, i16_pred, top_cy[mbx], left_cy
+                        )
                     bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[i16_mode]
                     top_bpred[mbx] = bmode
                     left_bpred[:] = bmode
+
+                # Track per-block-column nnz state for trellis contexts.
+                first_y = 1 if mb.has_y2 else 0
+                nnz_grid = (mb.y_levels[:, first_y:] != 0).any(axis=1).reshape(4, 4)
+                top_cy[mbx] = nnz_grid[3, :]
+                left_cy = nnz_grid[:, 3].astype(np.int64)
 
                 # Update luma borders from reconstruction.
                 left_y[0] = ws0[0, 16]
