@@ -20,6 +20,18 @@ RD_DISTO_MULT = 256
 MAX_LEVEL = 2047
 
 
+def rd_score(rate, disto, lam):
+    """RD score in distortion units: floor(rate*lambda / 256) + disto.
+
+    Equivalent resolution to libwebp's rate*lambda + 256*disto (divided
+    through by 256 with one floor), but fits 32-bit lanes on device; the
+    device kernel computes the identical value via a hi/lo split.
+    """
+    import numpy as _np
+
+    return ((_np.asarray(rate, _np.int64) * lam) >> 8) + disto
+
+
 def quality_to_quant_index(quality: int) -> int:
     c = quality / 100.0
     linear_c = c * (2.0 / 3.0) if c < 0.75 else 2.0 * c - 1.0

@@ -22,7 +22,8 @@ from ..ops import yuv as yuvops
 from . import costs as C
 from . import tables as ET
 from .boolenc import BoolEncoder, tree_paths
-from .quant import SegmentParams, quality_to_quant_index, compute_filter_level, RD_DISTO_MULT
+from .quant import (SegmentParams, quality_to_quant_index, compute_filter_level,
+                    RD_DISTO_MULT, rd_score)
 
 ZZ = T.ZIGZAG  # zigzag position -> raster index
 DC, V, H, TM, B = range(5)
@@ -412,15 +413,15 @@ class Vp8Encoder:
                         d *= 2
                         sd *= 2
                     mode_cost = ET.FIXED_COSTS_I16[mode_idx]
-                    score = (mode_cost + cost) * seg.lambda_i16 + RD_DISTO_MULT * (d + sd)
+                    score = rd_score(mode_cost + cost, d + sd, seg.lambda_i16)
                     if best is None or score < best[0]:
                         best = (score, mode, mode_cost, cost, d, sd, y2_levels, y_levels, rec,
                                 dct, pred)
 
                 (_, i16_mode, i16_mode_cost, i16_cost, i16_d, i16_sd,
                  i16_y2, i16_y, i16_rec, i16_dct, i16_pred) = best
-                i16_score = (i16_mode_cost + i16_cost) * seg.lambda_mode + RD_DISTO_MULT * (
-                    i16_d + i16_sd
+                i16_score = rd_score(
+                    i16_mode_cost + i16_cost, i16_d + i16_sd, seg.lambda_mode
                 )
 
                 # ---- I4 search --------------------------------------------------
@@ -521,7 +522,7 @@ class Vp8Encoder:
                     rate = ET.FIXED_COSTS_UV[mode_idx] + cost
                     if mode != DC and C.is_flat_levels(levels, C.FLATNESS_LIMIT_UV):
                         rate += C.FLATNESS_PENALTY * 8
-                    score = rate * seg.lambda_uv + RD_DISTO_MULT * d
+                    score = rd_score(rate, d, seg.lambda_uv)
                     if best_uv is None or score < best_uv[0]:
                         best_uv = (score, mode, levels, recs)
 
@@ -597,7 +598,7 @@ class Vp8Encoder:
                 else:
                     sd = np.zeros(len(order), np.int64)
                 rate = cc + mode_costs[order]
-                scores = rate * seg.lambda_i4 + RD_DISTO_MULT * (d + sd)
+                scores = rd_score(rate, d + sd, seg.lambda_i4)
                 k = int(np.argmin(scores))
                 m = int(order[k])
 
@@ -609,7 +610,7 @@ class Vp8Encoder:
 
                 total_rate += int(rate[k])
                 total_disto += int(d[k] + sd[k])
-                running = total_rate * seg.lambda_mode + RD_DISTO_MULT * total_disto
+                running = rd_score(total_rate, total_disto, seg.lambda_mode)
                 if running >= i16_score:
                     return None
 

@@ -22,13 +22,26 @@ from .wavefront import (
     _build_ws_chroma,
     _build_ws_luma,
     _clip255,
-    _predict_b_all,
+    _predict_b_all_mat,
     _predict_whole,
     diagonal_schedule,
 )
 from . import jax_ops
 
-BIG = (1 << 60)  # sentinel score; int64 semantics enabled inside the kernel
+BIG = jnp.int32(1 << 30)  # sentinel / saturation score (int32 lanes)
+
+
+def _rd_score32(rate, disto, lam: int):
+    """floor(rate*lam / 256) + disto in pure int32 via hi/lo split.
+
+    Exact for rate*lam < 2^38 (hi = rate>>8 capped so hi*lam stays in int32;
+    beyond that the score saturates, which only affects absurd candidates).
+    """
+    lam = int(lam)
+    cap = (1 << 30) // max(lam, 1)
+    hi = jnp.minimum(rate >> 8, cap)
+    lo = rate & 255
+    return hi * lam + ((lo * lam) >> 8) + disto
 
 ZZ = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
 IZZ = np.argsort(ZZ)
@@ -210,12 +223,10 @@ def _i16_search(ws, src, mbx, mby, P: EncParams, tbl: EncTables, t_4x4):
     allowed = jnp.stack(
         [jnp.bool_(True), mby != 0, mbx != 0, (mbx != 0) & (mby != 0)]
     )
-    scores = (mode_costs + costs).astype(jnp.int64) * P.lambda_i16 + 256 * (ds + sds)
+    scores = _rd_score32(mode_costs + costs, ds + sds, P.lambda_i16)
     scores = jnp.where(allowed, scores, BIG)
     best = jnp.argmin(scores)
-    final = (mode_costs[best] + costs[best]).astype(jnp.int64) * P.lambda_mode + 256 * (
-        ds[best] + sds[best]
-    )
+    final = _rd_score32(mode_costs[best] + costs[best], ds[best] + sds[best], P.lambda_mode)
     return (
         best,
         final,
@@ -236,7 +247,7 @@ def _i4_search(ws0, src, tb_modes, lb_modes, i16_score, n_try: int, P, tbl, t_4x
         x0 = sbx * 4 + 1
         sb_src = jax.lax.dynamic_slice(src, (sby * 4, sbx * 4), (4, 4))
         patch = jax.lax.dynamic_slice(ws, (y0 - 1, x0 - 1), (5, 9))
-        preds = _predict_b_all(patch)  # [10, 4, 4]
+        preds = _predict_b_all_mat(patch)  # [10, 4, 4]
         pred_sse = ((preds - sb_src[None]) ** 2).sum(axis=(1, 2))
         order = jnp.argsort(pred_sse, stable=True)[:n_try]
         cand = preds[order]  # [n, 4, 4]
@@ -254,7 +265,7 @@ def _i4_search(ws0, src, tb_modes, lb_modes, i16_score, n_try: int, P, tbl, t_4x
         )
         mode_costs = tbl.fixed_i4[tb[sbx], lb[sby]][order]
         rates = cc + mode_costs
-        scores = rates.astype(jnp.int64) * P.lambda_i4 + 256 * (d + sd)
+        scores = _rd_score32(rates, d + sd, P.lambda_i4)
         k = jnp.argmin(scores)
         m = order[k]
 
@@ -264,8 +275,8 @@ def _i4_search(ws0, src, tb_modes, lb_modes, i16_score, n_try: int, P, tbl, t_4x
         levels = levels.at[i].set(lv[k].astype(levels.dtype))
         modes = modes.at[i].set(m.astype(modes.dtype))
         rate = (rate + rates[k]).astype(rate.dtype)
-        disto = disto + d[k] + sd[k]
-        running = rate.astype(jnp.int64) * P.lambda_mode + 256 * disto
+        disto = (disto + d[k] + sd[k]).astype(disto.dtype)
+        running = _rd_score32(rate, disto, P.lambda_mode)
         ok = ok & (running < i16_score)
         return ws, tb, lb, levels, modes, rate, disto, ok
 
@@ -276,7 +287,7 @@ def _i4_search(ws0, src, tb_modes, lb_modes, i16_score, n_try: int, P, tbl, t_4x
         jnp.zeros((16, 16), jnp.int32),
         jnp.zeros(16, jnp.int32),
         jnp.int32(211),
-        jnp.int64(0),
+        jnp.int32(0),
         jnp.bool_(True),
     )
     ws, tb, lb, levels, modes, rate, disto, ok = jax.lax.fori_loop(0, 16, sub_step, init)
@@ -302,7 +313,7 @@ def _uv_search(uws, vws, usrc, vsrc, mbx, mby, P, tbl):
         rate = tbl.fixed_uv[mode] + cost
         flat = (levels[:, 1:] != 0).sum() <= 2
         rate = jnp.where((mode != 0) & flat, rate + 140 * 8, rate)
-        score = rate.astype(jnp.int64) * P.lambda_uv + 256 * d
+        score = _rd_score32(rate, d, P.lambda_uv)
         return score, levels, recs[0], recs[1]
 
     scores, lvls, urecs, vrecs = [], [], [], []
@@ -329,14 +340,13 @@ def _uv_search(uws, vws, usrc, vsrc, mbx, mby, P, tbl):
 def encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int, mbh: int, n_try: int):
     """Full-frame mode decision + reconstruction on the wavefront.
 
-    RD scores are 64-bit (rate*lambda can exceed 2^32), so the kernel traces
-    with x64 enabled; all bulk tensors remain int32.
+    RD scores use the scaled int32 formula floor(rate*lambda/256) + disto
+    (mirrored by the host encoder), keeping every lane 32-bit on TPU.
     Returns dict of per-MB decisions and level tensors.
     """
-    with jax.enable_x64(True):
-        return _encode_analysis_frame(
-            ybuf, ubuf, vbuf, params_tree, tables_tree, mbw, mbh, n_try
-        )
+    return _encode_analysis_frame(
+        ybuf, ubuf, vbuf, params_tree, tables_tree, mbw, mbh, n_try
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try"))

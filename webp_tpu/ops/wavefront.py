@@ -229,8 +229,7 @@ def _recon_luma_mb(ws, luma_mode, bpred, res_y, mbx, mby):
         y0 = sby * 4 + 1
         x0 = sbx * 4 + 1
         patch = jax.lax.dynamic_slice(ws_b, (y0 - 1, x0 - 1), (5, 9))
-        preds = _predict_b_all(patch)
-        pred = preds[bpred[i]]
+        pred = _predict_b_one(patch, bpred[i])
         blk = _clip255(pred + res_y[i].reshape(4, 4))
         return jax.lax.dynamic_update_slice(ws_b, blk, (y0, x0))
 
@@ -386,3 +385,149 @@ def reconstruct_frame(residuals, luma_mode, bpred, chroma_mode, mbw: int, mbh: i
         state["ubuf"].astype(jnp.uint8),
         state["vbuf"].astype(jnp.uint8),
     )
+
+
+# -- matrix-form B predictors ------------------------------------------------
+# Every 4x4 predictor output is an average with denominator 8 of border
+# pixels (avg2 = (4a+4b+4)>>3, avg3 = (2a+4b+2c+4)>>3, DC = (sum+4)>>3,
+# copy = 8a>>3, TM = (8l+8a-8tl)>>3 then clip), so all 10 modes evaluate as a
+# single [13] x [13, 160] integer matmul + round + shift — MXU/VPU-shaped
+# instead of hundreds of scalar stacks. Border vector layout:
+#   b = [tl, a0..a7, l0..l3].
+
+def _build_bpred_matrix():
+    W = np.zeros((13, 160), np.int32)
+    r = np.zeros(160, np.int32)
+    TL, A, L = 0, 1, 9
+
+    def out(mode, y, x):
+        return mode * 16 + y * 4 + x
+
+    def avg3(o, i, j, k):
+        W[i, o] += 2
+        W[j, o] += 4
+        W[k, o] += 2
+        r[o] = 4
+
+    def avg2(o, i, j):
+        W[i, o] += 4
+        W[j, o] += 4
+        r[o] = 4
+
+    def copy(o, i):
+        W[i, o] += 8
+
+    # DC
+    for y in range(4):
+        for x in range(4):
+            o = out(0, y, x)
+            for i in range(4):
+                W[A + i, o] += 1
+                W[L + i, o] += 1
+            r[o] = 4
+    # TM: clip(l + a - tl)
+    for y in range(4):
+        for x in range(4):
+            o = out(1, y, x)
+            W[L + y, o] += 8
+            W[A + x, o] += 8
+            W[TL, o] -= 8
+    # VE: avg3 over (tl,a0..a4) sliding
+    ve = [(TL, A, A + 1), (A, A + 1, A + 2), (A + 1, A + 2, A + 3), (A + 2, A + 3, A + 4)]
+    for y in range(4):
+        for x in range(4):
+            avg3(out(2, y, x), *ve[x])
+    # HE
+    he = [(TL, L, L + 1), (L, L + 1, L + 2), (L + 1, L + 2, L + 3), (L + 2, L + 3, L + 3)]
+    for y in range(4):
+        for x in range(4):
+            avg3(out(3, y, x), *he[y])
+    # LD: avgs[i] = avg3(a[i], a[i+1], a[min(i+2,7)]), rows shifted
+    for y in range(4):
+        for x in range(4):
+            i = y + x
+            avg3(out(4, y, x), A + i, A + i + 1, A + min(i + 2, 7))
+    # RD: edges e0..e8 = l3,l2,l1,l0,tl,a0..a3; avgs[i]=avg3(e[i..i+2]); row y = avgs[3-y..7-y]
+    E = [L + 3, L + 2, L + 1, L, TL, A, A + 1, A + 2, A + 3]
+    for y in range(4):
+        for x in range(4):
+            i = 3 - y + x
+            avg3(out(5, y, x), E[i], E[i + 1], E[i + 2])
+    # VR
+    EV = [L + 3, L + 2, L + 1, L, TL, A, A + 1, A + 2, A + 3]
+    vr = {
+        (0, 0): ("a2", 4), (0, 1): ("a2", 5), (0, 2): ("a2", 6), (0, 3): ("a2", 7),
+        (1, 0): ("a3", 3), (1, 1): ("a3", 4), (1, 2): ("a3", 5), (1, 3): ("a3", 6),
+        (2, 0): ("a3", 2), (2, 1): ("a2", 4), (2, 2): ("a2", 5), (2, 3): ("a2", 6),
+        (3, 0): ("a3", 1), (3, 1): ("a3", 3), (3, 2): ("a3", 4), (3, 3): ("a3", 5),
+    }
+    for (y, x), (kind, i) in vr.items():
+        o = out(6, y, x)
+        if kind == "a2":
+            avg2(o, EV[i], EV[i + 1])
+        else:
+            avg3(o, EV[i], EV[i + 1], EV[i + 2])
+    # VL
+    vl = {
+        (0, 0): ("a2", 0), (0, 1): ("a2", 1), (0, 2): ("a2", 2), (0, 3): ("a2", 3),
+        (1, 0): ("a3", 0), (1, 1): ("a3", 1), (1, 2): ("a3", 2), (1, 3): ("a3", 3),
+        (2, 0): ("a2", 1), (2, 1): ("a2", 2), (2, 2): ("a2", 3), (2, 3): ("a3", 4),
+        (3, 0): ("a3", 1), (3, 1): ("a3", 2), (3, 2): ("a3", 3), (3, 3): ("a3", 5),
+    }
+    for (y, x), (kind, i) in vl.items():
+        o = out(7, y, x)
+        if kind == "a2":
+            avg2(o, A + i, A + i + 1)
+        else:
+            avg3(o, A + i, A + i + 1, A + i + 2)
+    # HD
+    hd = {
+        (0, 0): ("a2", 3), (0, 1): ("a3", 3), (0, 2): ("a3", 4), (0, 3): ("a3", 5),
+        (1, 0): ("a2", 2), (1, 1): ("a3", 2), (1, 2): ("a2", 3), (1, 3): ("a3", 3),
+        (2, 0): ("a2", 1), (2, 1): ("a3", 1), (2, 2): ("a2", 2), (2, 3): ("a3", 2),
+        (3, 0): ("a2", 0), (3, 1): ("a3", 0), (3, 2): ("a2", 1), (3, 3): ("a3", 1),
+    }
+    for (y, x), (kind, i) in hd.items():
+        o = out(8, y, x)
+        if kind == "a2":
+            avg2(o, EV[i], EV[i + 1])
+        else:
+            avg3(o, EV[i], EV[i + 1], EV[i + 2])
+    # HU
+    hu = {
+        (0, 0): ("a2", 0), (0, 1): ("a3", 0), (0, 2): ("a2", 1), (0, 3): ("a3", 1),
+        (1, 0): ("a2", 1), (1, 1): ("a3", 1), (1, 2): ("a2", 2), (1, 3): ("a3x", 2),
+        (2, 0): ("a2", 2), (2, 1): ("a3x", 2), (2, 2): ("c", 3), (2, 3): ("c", 3),
+        (3, 0): ("c", 3), (3, 1): ("c", 3), (3, 2): ("c", 3), (3, 3): ("c", 3),
+    }
+    for (y, x), (kind, i) in hu.items():
+        o = out(9, y, x)
+        if kind == "a2":
+            avg2(o, L + i, L + i + 1)
+        elif kind == "a3":
+            avg3(o, L + i, L + i + 1, L + i + 2)
+        elif kind == "a3x":  # avg3(l2, l3, l3)
+            avg3(o, L + i, L + i + 1, L + i + 1)
+        else:
+            copy(o, L + i)
+    return W, r
+
+
+_BPRED_W_np, _BPRED_R_np = _build_bpred_matrix()
+_BPRED_W = jnp.asarray(_BPRED_W_np)
+_BPRED_R = jnp.asarray(_BPRED_R_np)
+
+
+def _predict_b_all_mat(patch):
+    """All 10 B-mode predictions from a [5, 9] patch via one matmul."""
+    b = jnp.concatenate([patch[0, 0:9], patch[1:5, 0]])
+    out = (b @ _BPRED_W + _BPRED_R) >> 3
+    return jnp.clip(out, 0, 255).reshape(10, 4, 4)
+
+
+def _predict_b_one(patch, mode):
+    """Single B-mode prediction via a [13]x[13,16] gathered matmul."""
+    b = jnp.concatenate([patch[0, 0:9], patch[1:5, 0]])
+    W = _BPRED_W.reshape(13, 10, 16)[:, mode]
+    R = _BPRED_R.reshape(10, 16)[mode]
+    return jnp.clip((b @ W + R) >> 3, 0, 255).reshape(4, 4)
