@@ -1,0 +1,636 @@
+// VP8L (lossless WebP) decoder — native host hot path.
+//
+// Mirrors webp_tpu/decode/vp8l.py (the verified bit-exact reference
+// implementation) : LSB-first bit reader, canonical two-level Huffman tables,
+// meta-entropy groups, color cache, LZ77 backrefs, and the four inverse
+// transforms. Used for full-image VP8L decode and for ALPH alpha planes.
+//
+// Build: part of libwebp_tpu_native.so (see io/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace vp8l {
+
+struct BitReader {
+    const uint8_t* data;
+    int len;
+    int pos = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool error = false;
+
+    void init(const uint8_t* d, int l) {
+        data = d;
+        len = l;
+    }
+    void fill() {
+        if (pos + 8 <= len) {
+            uint64_t look;
+            memcpy(&look, data + pos, 8);  // little-endian hosts
+            int take = (63 - nbits) >> 3;
+            acc |= look << nbits;
+            pos += take;
+            nbits |= 56;
+        } else {
+            while (pos < len && nbits < 56) {
+                acc |= (uint64_t)data[pos] << nbits;
+                nbits += 8;
+                pos++;
+            }
+        }
+    }
+    uint32_t peek(int n) const { return (uint32_t)(acc & ((1ull << n) - 1)); }
+    void consume(int n) {
+        if (nbits < n) {
+            error = true;
+            nbits = 0;
+            acc = 0;
+            return;
+        }
+        acc >>= n;
+        nbits -= n;
+    }
+    uint32_t read(int n) {
+        if (nbits < n) fill();
+        uint32_t v = peek(n);
+        consume(n);
+        return v;
+    }
+};
+
+// Two-level canonical Huffman decoder (root 10 bits).
+struct Huffman {
+    static const int ROOT_BITS = 10;
+    bool single = false;
+    uint16_t single_sym = 0;
+    // primary entry: len<=ROOT -> (len<<12)|sym ; len>ROOT -> (len<<12)|sub_index
+    std::vector<uint32_t> primary;
+    std::vector<uint32_t> secondary;  // (len) | (sym<<4)
+    int max_len = 0;
+
+    // Build from code lengths; returns false on invalid code.
+    bool build(const uint16_t* lengths, int n) {
+        int count = 0, sym0 = 0;
+        int hist[16] = {0};
+        for (int i = 0; i < n; i++) {
+            if (lengths[i]) {
+                count++;
+                sym0 = i;
+                hist[lengths[i]]++;
+            }
+            if (lengths[i] > 15) return false;
+        }
+        if (count == 0) return false;
+        if (count == 1) {
+            single = true;
+            single_sym = (uint16_t)sym0;
+            return true;
+        }
+        max_len = 15;
+        while (max_len > 1 && hist[max_len] == 0) max_len--;
+        long space = 0;
+        for (int l = 1; l <= max_len; l++) space = (space << 1) + hist[l];
+        if (space != (1l << max_len)) return false;
+
+        // canonical codes
+        int first[17] = {0};
+        int code = 0;
+        for (int l = 1; l <= max_len; l++) {
+            first[l] = code;
+            code = (code + hist[l]) << 1;
+        }
+        int root = ROOT_BITS < max_len ? ROOT_BITS : max_len;
+        primary.assign(1u << root, 0);
+        secondary.clear();
+
+        int next_code[17];
+        memcpy(next_code, first, sizeof(first));
+        // For secondary tables: track per-prefix allocation.
+        std::vector<int> sub_start(1u << root, -1);
+        for (int sym = 0; sym < n; sym++) {
+            int l = lengths[sym];
+            if (!l) continue;
+            int c = next_code[l]++;
+            // reverse bits
+            uint32_t rev = 0;
+            for (int b = 0; b < l; b++) rev |= ((c >> b) & 1) << (l - 1 - b);
+            if (l <= root) {
+                for (uint32_t i = rev; i < primary.size(); i += (1u << l))
+                    primary[i] = ((uint32_t)l << 12) | sym;
+            } else {
+                uint32_t prefix = rev & ((1u << root) - 1);
+                if (sub_start[prefix] < 0) {
+                    // allocate subtable of size 1 << (max_len - root)
+                    sub_start[prefix] = (int)secondary.size();
+                    secondary.resize(secondary.size() + (1u << (max_len - root)), 0);
+                    primary[prefix] = 0x80000000u | (uint32_t)sub_start[prefix];
+                }
+                uint32_t hi = rev >> root;
+                for (uint32_t i = hi; i < (1u << (max_len - root)); i += (1u << (l - root)))
+                    secondary[sub_start[prefix] + i] = ((uint32_t)l) | ((uint32_t)sym << 4);
+            }
+        }
+        return true;
+    }
+
+    int read_symbol(BitReader& br) const {
+        if (single) return single_sym;
+        uint32_t v = (uint32_t)(br.acc & 0xFFFF);
+        uint32_t e = primary[v & (primary.size() - 1)];
+        if (!(e & 0x80000000u)) {
+            br.consume(e >> 12);
+            return (int)(e & 0xFFF);
+        }
+        uint32_t sub = e & 0x7FFFFFFF;
+        uint32_t idx = (v >> ROOT_BITS) & ((1u << (max_len - ROOT_BITS)) - 1);
+        uint32_t se = secondary[sub + idx];
+        br.consume(se & 0xF);
+        return (int)(se >> 4);
+    }
+};
+
+static const int CL_ORDER[19] = {17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+static const int8_t DIST_MAP[120][2] = {
+    {0,1},{1,0},{1,1},{-1,1},{0,2},{2,0},{1,2},{-1,2},{2,1},{-2,1},{2,2},{-2,2},
+    {0,3},{3,0},{1,3},{-1,3},{3,1},{-3,1},{2,3},{-2,3},{3,2},{-3,2},{0,4},{4,0},
+    {1,4},{-1,4},{4,1},{-4,1},{3,3},{-3,3},{2,4},{-2,4},{4,2},{-4,2},{0,5},{3,4},
+    {-3,4},{4,3},{-4,3},{5,0},{1,5},{-1,5},{5,1},{-5,1},{2,5},{-2,5},{5,2},{-5,2},
+    {4,4},{-4,4},{3,5},{-3,5},{5,3},{-5,3},{0,6},{6,0},{1,6},{-1,6},{6,1},{-6,1},
+    {2,6},{-2,6},{6,2},{-6,2},{4,5},{-4,5},{5,4},{-5,4},{3,6},{-3,6},{6,3},{-6,3},
+    {0,7},{7,0},{1,7},{-1,7},{5,5},{-5,5},{7,1},{-7,1},{4,6},{-4,6},{6,4},{-6,4},
+    {2,7},{-2,7},{7,2},{-7,2},{3,7},{-3,7},{7,3},{-7,3},{5,6},{-5,6},{6,5},{-6,5},
+    {8,0},{4,7},{-4,7},{7,4},{-7,4},{8,1},{8,2},{6,6},{-6,6},{8,3},{5,7},{-5,7},
+    {7,5},{-7,5},{8,4},{6,7},{-6,7},{7,6},{-7,6},{8,5},{7,7},{-7,7},{8,6},{8,7},
+};
+
+struct Decoder {
+    BitReader br;
+    bool err = false;
+
+    int subsample(int size, int bits) { return (size + (1 << bits) - 1) >> bits; }
+
+    bool read_huffman_code(int alphabet, Huffman& tree) {
+        if (br.read(1) == 1) {  // simple
+            int num = (int)br.read(1) + 1;
+            int first8 = (int)br.read(1);
+            int sym0 = (int)br.read(first8 ? 8 : 1);
+            if (sym0 >= alphabet) return false;
+            if (num == 1) {
+                uint16_t lens1[1] = {0};
+                tree.single = true;
+                tree.single_sym = (uint16_t)sym0;
+                (void)lens1;
+                return true;
+            }
+            int sym1 = (int)br.read(8);
+            if (sym1 >= alphabet) return false;
+            // two-symbol tree: codes 0/1, 1 bit each
+            std::vector<uint16_t> lens(alphabet, 0);
+            lens[sym0] = 1;
+            lens[sym1] = 1;
+            // careful: canonical assignment gives sym with smaller index code 0;
+            // spec order is (zero_symbol, one_symbol) explicitly:
+            Huffman t;
+            t.primary.assign(1u << Huffman::ROOT_BITS, 0);
+            for (uint32_t i = 0; i < t.primary.size(); i += 2) {
+                t.primary[i] = (1u << 12) | sym0;
+                t.primary[i + 1] = (1u << 12) | sym1;
+            }
+            t.max_len = 1;
+            tree = t;
+            return true;
+        }
+        uint16_t cl_lens[19] = {0};
+        int num_codes = 4 + (int)br.read(4);
+        for (int i = 0; i < num_codes; i++) cl_lens[CL_ORDER[i]] = (uint16_t)br.read(3);
+        Huffman cl;
+        if (!cl.build(cl_lens, 19)) return false;
+
+        int max_symbol;
+        if (br.read(1) == 1) {
+            int nbits = 2 + 2 * (int)br.read(3);
+            max_symbol = 2 + (int)br.read(nbits);
+            if (max_symbol > alphabet) return false;
+        } else {
+            max_symbol = alphabet;
+        }
+
+        std::vector<uint16_t> lens(alphabet, 0);
+        int prev = 8;
+        int symbol = 0;
+        while (symbol < alphabet) {
+            if (max_symbol == 0) break;
+            max_symbol--;
+            br.fill();
+            int cl_sym = cl.read_symbol(br);
+            if (br.error) return false;
+            if (cl_sym < 16) {
+                lens[symbol++] = (uint16_t)cl_sym;
+                if (cl_sym) prev = cl_sym;
+            } else {
+                int repeat, fill_len = 0;
+                if (cl_sym == 16) {
+                    repeat = 3 + (int)br.read(2);
+                    fill_len = prev;
+                } else if (cl_sym == 17) {
+                    repeat = 3 + (int)br.read(3);
+                } else if (cl_sym == 18) {
+                    repeat = 11 + (int)br.read(7);
+                } else {
+                    return false;
+                }
+                if (symbol + repeat > alphabet) return false;
+                for (int i = 0; i < repeat; i++) lens[symbol++] = (uint16_t)fill_len;
+            }
+        }
+        return tree.build(lens.data(), alphabet);
+    }
+
+    int prefix_value(int code) {
+        if (code < 4) return code + 1;
+        int extra = (code - 2) >> 1;
+        int offset = (2 + (code & 1)) << extra;
+        if (br.nbits < extra) br.fill();
+        int bits = (int)br.peek(extra);
+        br.consume(extra);
+        return offset + bits + 1;
+    }
+
+    // Decode one image stream into out (RGBA, w*h*4 bytes).
+    bool decode_stream(int w, int h, bool is_argb, uint8_t* out) {
+        int cache_bits = 0;
+        if (br.read(1) == 1) {
+            cache_bits = (int)br.read(4);
+            if (cache_bits < 1 || cache_bits > 11) return false;
+        }
+
+        int meta_bits = 0, hx = 1;
+        std::vector<uint16_t> meta_image;
+        int num_groups = 1;
+        if (is_argb && br.read(1) == 1) {
+            meta_bits = (int)br.read(3) + 2;
+            hx = subsample(w, meta_bits);
+            int hy = subsample(h, meta_bits);
+            std::vector<uint8_t> sub((size_t)hx * hy * 4);
+            if (!decode_stream(hx, hy, false, sub.data())) return false;
+            meta_image.resize((size_t)hx * hy);
+            for (size_t i = 0; i < meta_image.size(); i++) {
+                meta_image[i] =
+                    (uint16_t)(((int)sub[i * 4] << 8) | sub[i * 4 + 1]);
+                if (meta_image[i] + 1 > num_groups) num_groups = meta_image[i] + 1;
+            }
+        }
+
+        int green_alpha = 256 + 24 + (cache_bits ? (1 << cache_bits) : 0);
+        std::vector<Huffman> trees((size_t)num_groups * 5);
+        for (int g = 0; g < num_groups; g++) {
+            const int sizes[5] = {green_alpha, 256, 256, 256, 40};
+            for (int j = 0; j < 5; j++)
+                if (!read_huffman_code(sizes[j], trees[g * 5 + j])) return false;
+        }
+
+        std::vector<uint32_t> cache;
+        if (cache_bits) cache.assign(1u << cache_bits, 0);
+
+        long num_px = (long)w * h;
+        long index = 0;
+        long next_block = 0;
+        uint32_t mask = meta_bits ? ((1u << meta_bits) - 1) : 0xFFFFFFFFu;
+        const Huffman* g_tree = &trees[0];
+        const Huffman* group = &trees[0];
+
+        auto cache_insert = [&](uint32_t r, uint32_t g, uint32_t b, uint32_t a) {
+            if (!cache_bits) return;
+            uint32_t argb = (a << 24) | (r << 16) | (g << 8) | b;
+            uint32_t idx2 = (uint32_t)(0x1e35a7bdu * argb) >> (32 - cache_bits);
+            cache[idx2] = argb;
+        };
+
+        while (index < num_px) {
+            br.fill();
+            if (br.error) return false;
+            if (index >= next_block) {
+                long x = index % w;
+                long y = index / w;
+                long nb = (x | mask);
+                if (nb > w - 1) nb = w - 1;
+                next_block = nb + y * w + 1;
+                int gi = 0;
+                if (meta_bits)
+                    gi = meta_image[(y >> meta_bits) * hx + (x >> meta_bits)];
+                group = &trees[(size_t)gi * 5];
+                g_tree = group;
+                // solid-fill fast path
+                if (group[0].single && group[1].single && group[2].single &&
+                    group[3].single) {
+                    int code = group[0].single_sym;
+                    if (code < 256) {
+                        long n = meta_bits ? (next_block - index) : (num_px - index);
+                        uint8_t px[4] = {(uint8_t)group[1].single_sym, (uint8_t)code,
+                                         (uint8_t)group[2].single_sym,
+                                         (uint8_t)group[3].single_sym};
+                        for (long i2 = 0; i2 < n; i2++)
+                            memcpy(out + (index + i2) * 4, px, 4);
+                        cache_insert(px[0], px[1], px[2], px[3]);
+                        index += n;
+                        continue;
+                    }
+                }
+            }
+            int code = g_tree[0].read_symbol(br);
+            if (br.error) return false;
+            if (code < 256) {
+                int g2 = code;
+                int r2 = group[1].read_symbol(br);
+                int b2 = group[2].read_symbol(br);
+                if (br.nbits < 15) br.fill();
+                int a2 = group[3].read_symbol(br);
+                uint8_t* p = out + index * 4;
+                p[0] = (uint8_t)r2;
+                p[1] = (uint8_t)g2;
+                p[2] = (uint8_t)b2;
+                p[3] = (uint8_t)a2;
+                cache_insert(r2, g2, b2, a2);
+                index++;
+            } else if (code < 280) {
+                int length = prefix_value(code - 256);
+                int dist_sym = group[4].read_symbol(br);
+                if (br.error) return false;
+                int dist_code = prefix_value(dist_sym);
+                long dist;
+                if (dist_code > 120) {
+                    dist = dist_code - 120;
+                } else {
+                    long d = DIST_MAP[dist_code - 1][0] +
+                             (long)DIST_MAP[dist_code - 1][1] * w;
+                    dist = d < 1 ? 1 : d;
+                }
+                if (index < dist || num_px - index < length) return false;
+                uint8_t* dst = out + index * 4;
+                const uint8_t* src = out + (index - dist) * 4;
+                for (long i2 = 0; i2 < (long)length * 4; i2++) dst[i2] = src[i2];
+                if (cache_bits) {
+                    for (int i2 = 0; i2 < length; i2++)
+                        cache_insert(dst[i2 * 4], dst[i2 * 4 + 1], dst[i2 * 4 + 2],
+                                     dst[i2 * 4 + 3]);
+                }
+                index += length;
+            } else {
+                if (!cache_bits) return false;
+                uint32_t argb = cache[code - 280];
+                uint8_t* p = out + index * 4;
+                p[0] = (uint8_t)(argb >> 16);
+                p[1] = (uint8_t)(argb >> 8);
+                p[2] = (uint8_t)argb;
+                p[3] = (uint8_t)(argb >> 24);
+                index++;
+            }
+        }
+        return true;
+    }
+
+    // ---- inverse transforms ----
+    static uint8_t avg2(uint8_t a, uint8_t b) { return (uint8_t)(((int)a + b) / 2); }
+
+    static uint8_t clamp_full(int a, int b, int c) {
+        int v = a + b - c;
+        return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+    static uint8_t clamp_half(int a, int b) {
+        int d = a - b;
+        int half = d >= 0 ? d / 2 : -((-d) / 2);
+        int v = a + half;
+        return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+
+    void inverse_predictor(uint8_t* img, int w, int h, int size_bits,
+                           const uint8_t* pred_data, int block_w) {
+        img[3] = (uint8_t)(img[3] + 255);
+        for (int i = 4; i < w * 4; i++) img[i] = (uint8_t)(img[i] + img[i - 4]);
+        for (int y = 1; y < h; y++)
+            for (int c = 0; c < 4; c++)
+                img[(size_t)y * w * 4 + c] =
+                    (uint8_t)(img[(size_t)y * w * 4 + c] + img[(size_t)(y - 1) * w * 4 + c]);
+
+        for (int y = 1; y < h; y++) {
+            uint8_t* row = img + (size_t)y * w * 4;
+            const uint8_t* prow = row - (size_t)w * 4;
+            for (int bx = 0; bx < block_w; bx++) {
+                int mode = pred_data[((size_t)(y >> size_bits) * block_w + bx) * 4 + 1];
+                int xs = bx << size_bits;
+                if (xs < 1) xs = 1;
+                int xe = (bx + 1) << size_bits;
+                if (xe > w) xe = w;
+                for (int x = xs; x < xe; x++) {
+                    uint8_t* p = row + (size_t)x * 4;
+                    const uint8_t* L = p - 4;
+                    const uint8_t* T = prow + (size_t)x * 4;
+                    const uint8_t* TL = T - 4;
+                    const uint8_t* TR = (x + 1 < w) ? T + 4 : row;  // wraps to (y,0)
+                    switch (mode) {
+                        case 0:
+                            p[3] = (uint8_t)(p[3] + 255);
+                            break;
+                        case 1:
+                            for (int c = 0; c < 4; c++) p[c] = (uint8_t)(p[c] + L[c]);
+                            break;
+                        case 2:
+                            for (int c = 0; c < 4; c++) p[c] = (uint8_t)(p[c] + T[c]);
+                            break;
+                        case 3:
+                            for (int c = 0; c < 4; c++) p[c] = (uint8_t)(p[c] + TR[c]);
+                            break;
+                        case 4:
+                            for (int c = 0; c < 4; c++) p[c] = (uint8_t)(p[c] + TL[c]);
+                            break;
+                        case 5:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] + avg2(avg2(L[c], TR[c]), T[c]));
+                            break;
+                        case 6:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] + avg2(L[c], TL[c]));
+                            break;
+                        case 7:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] + avg2(L[c], T[c]));
+                            break;
+                        case 8:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] + avg2(TL[c], T[c]));
+                            break;
+                        case 9:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] + avg2(T[c], TR[c]));
+                            break;
+                        case 10:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] +
+                                                 avg2(avg2(L[c], TL[c]), avg2(T[c], TR[c])));
+                            break;
+                        case 11: {
+                            int pl = 0, pt = 0;
+                            for (int c = 0; c < 4; c++) {
+                                int pr = (int)L[c] + T[c] - TL[c];
+                                pl += pr > L[c] ? pr - L[c] : L[c] - pr;
+                                pt += pr > T[c] ? pr - T[c] : T[c] - pr;
+                            }
+                            const uint8_t* s = pl < pt ? L : T;
+                            for (int c = 0; c < 4; c++) p[c] = (uint8_t)(p[c] + s[c]);
+                            break;
+                        }
+                        case 12:
+                            for (int c = 0; c < 4; c++)
+                                p[c] = (uint8_t)(p[c] + clamp_full(L[c], T[c], TL[c]));
+                            break;
+                        case 13:
+                            for (int c = 0; c < 4; c++) {
+                                int a = ((int)L[c] + T[c]) / 2;
+                                p[c] = (uint8_t)(p[c] + clamp_half(a, TL[c]));
+                            }
+                            break;
+                        default:
+                            break;
+                    }
+                }
+            }
+        }
+    }
+};
+
+}  // namespace vp8l
+
+extern "C" {
+
+int vp8l_get_dims(const uint8_t* data, int len, int32_t* out_w, int32_t* out_h) {
+    vp8l::BitReader br;
+    br.init(data, len);
+    if (br.read(8) != 0x2f) return -1;
+    *out_w = (int32_t)br.read(14) + 1;
+    *out_h = (int32_t)br.read(14) + 1;
+    return 0;
+}
+
+// Full VP8L decode to RGBA. `implicit` != 0 means no header (ALPH payload).
+// Returns 0 on success.
+int vp8l_decode(const uint8_t* data, int len, int32_t width, int32_t height,
+                int implicit, uint8_t* out_rgba) {
+    vp8l::Decoder dec;
+    dec.br.init(data, len);
+    int w = width, h = height;
+    if (!implicit) {
+        if (dec.br.read(8) != 0x2f) return -1;
+        w = (int)dec.br.read(14) + 1;
+        h = (int)dec.br.read(14) + 1;
+        if (w != width || h != height) return -2;
+        dec.br.read(1);
+        if (dec.br.read(3) != 0) return -3;
+    }
+
+    // Transforms.
+    struct Transform {
+        int type;
+        int size_bits = 0;
+        int table_size = 0;
+        std::vector<uint8_t> data;
+    };
+    std::vector<Transform> transforms;
+    bool seen[4] = {false, false, false, false};
+    int xsize = w;
+    while (dec.br.read(1) == 1) {
+        int ttype = (int)dec.br.read(2);
+        if (seen[ttype]) return -4;
+        seen[ttype] = true;
+        Transform t;
+        t.type = ttype;
+        if (ttype == 0 || ttype == 1) {
+            t.size_bits = (int)dec.br.read(3) + 2;
+            int bw = dec.subsample(xsize, t.size_bits);
+            int bh = dec.subsample(h, t.size_bits);
+            t.data.resize((size_t)bw * bh * 4);
+            if (!dec.decode_stream(bw, bh, false, t.data.data())) return -5;
+        } else if (ttype == 3) {
+            t.table_size = (int)dec.br.read(8) + 1;
+            t.data.resize((size_t)t.table_size * 4);
+            if (!dec.decode_stream(t.table_size, 1, false, t.data.data())) return -6;
+            // delta-decode palette
+            for (size_t i = 4; i < t.data.size(); i++)
+                t.data[i] = (uint8_t)(t.data[i] + t.data[i - 4]);
+            int bits = t.table_size <= 2 ? 3 : (t.table_size <= 4 ? 2 : (t.table_size <= 16 ? 1 : 0));
+            xsize = dec.subsample(xsize, bits);
+        }
+        transforms.push_back(std::move(t));
+    }
+
+    std::vector<uint8_t> buf((size_t)xsize * h * 4);
+    if (!dec.decode_stream(xsize, h, true, buf.data())) return -7;
+
+    int width_now = xsize;
+    for (int i = (int)transforms.size() - 1; i >= 0; i--) {
+        Transform& t = transforms[i];
+        if (t.type == 0) {
+            int bw = dec.subsample(width_now, t.size_bits);
+            dec.inverse_predictor(buf.data(), width_now, h, t.size_bits, t.data.data(), bw);
+        } else if (t.type == 1) {
+            int bw = dec.subsample(width_now, t.size_bits);
+            for (int y = 0; y < h; y++) {
+                uint8_t* row = buf.data() + (size_t)y * width_now * 4;
+                const uint8_t* trow = t.data.data() + (size_t)(y >> t.size_bits) * bw * 4;
+                for (int x = 0; x < width_now; x++) {
+                    const uint8_t* tf = trow + (size_t)(x >> t.size_bits) * 4;
+                    int g = (int8_t)row[x * 4 + 1];
+                    int r = row[x * 4] + (((int8_t)tf[2] * g) >> 5);
+                    row[x * 4] = (uint8_t)r;
+                    int b = row[x * 4 + 2] + (((int8_t)tf[1] * g) >> 5) +
+                            (((int8_t)tf[0] * (int8_t)(uint8_t)r) >> 5);
+                    row[x * 4 + 2] = (uint8_t)b;
+                }
+            }
+        } else if (t.type == 2) {
+            for (size_t p = 0; p < buf.size(); p += 4) {
+                buf[p] = (uint8_t)(buf[p] + buf[p + 1]);
+                buf[p + 2] = (uint8_t)(buf[p + 2] + buf[p + 1]);
+            }
+        } else if (t.type == 3) {
+            std::vector<uint8_t> table(256 * 4, 0);
+            memcpy(table.data(), t.data.data(), t.data.size());
+            if (t.table_size > 16) {
+                std::vector<uint8_t> outp((size_t)w * h * 4);
+                for (long p = 0; p < (long)w * h; p++) {
+                    int idx = buf[p * 4 + 1];
+                    memcpy(&outp[p * 4], &table[(size_t)idx * 4], 4);
+                }
+                buf.swap(outp);
+                width_now = w;
+            } else {
+                int wbits = t.table_size <= 2 ? 3 : (t.table_size <= 4 ? 2 : 1);
+                int per = 1 << wbits;
+                int bpp = 8 >> wbits;
+                int msk = (1 << bpp) - 1;
+                std::vector<uint8_t> outp((size_t)w * h * 4);
+                for (int y = 0; y < h; y++) {
+                    const uint8_t* prow = buf.data() + (size_t)y * width_now * 4;
+                    uint8_t* orow = outp.data() + (size_t)y * w * 4;
+                    for (int x = 0; x < w; x++) {
+                        int packed = prow[(size_t)(x >> wbits) * 4 + 1];
+                        int idx = (packed >> ((x & (per - 1)) * bpp)) & msk;
+                        if (idx >= t.table_size)
+                            memset(orow + (size_t)x * 4, 0, 4);
+                        else
+                            memcpy(orow + (size_t)x * 4, &table[(size_t)idx * 4], 4);
+                    }
+                }
+                buf.swap(outp);
+                width_now = w;
+            }
+        }
+    }
+    if (width_now != w) return -8;
+    memcpy(out_rgba, buf.data(), (size_t)w * h * 4);
+    return 0;
+}
+
+}  // extern "C"

@@ -385,8 +385,19 @@ class LosslessDecoder:
         return max(xoff + yoff * xsize, 1)
 
 
-def decode_lossless(data, width: int, height: int, implicit_dims: bool = False) -> np.ndarray:
+def decode_lossless(data, width: int, height: int, implicit_dims: bool = False,
+                    allow_native: bool = True) -> np.ndarray:
     """Decode a VP8L stream to an [h, w, 4] uint8 RGBA array."""
+    if allow_native:
+        try:
+            from ..io import native
+
+            if native.available():
+                return native.vp8l_decode(bytes(data), width, height, implicit_dims)
+        except Exception:
+            # Fall through to the Python decoder, which raises precise
+            # DecodingError types for malformed streams.
+            pass
     dec = LosslessDecoder(data)
     flat = dec.decode(width, height, implicit_dims)
     return flat.reshape(height, width, 4)

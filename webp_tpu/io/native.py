@@ -17,6 +17,7 @@ from ..common import vp8_tables as T
 
 _ROOT = Path(__file__).resolve().parent.parent.parent
 _SRC = _ROOT / "native" / "vp8_entropy.cpp"
+_SRC2 = _ROOT / "native" / "vp8l.cpp"
 _LIB_PATH = _ROOT / "native" / "libwebp_tpu_native.so"
 
 _lib = None
@@ -24,7 +25,7 @@ _lib = None
 
 def _build():
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SRC)],
+        ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SRC), str(_SRC2)],
         check=True,
         capture_output=True,
     )
@@ -34,7 +35,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+    newest_src = max(_SRC.stat().st_mtime, _SRC2.stat().st_mtime)
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -49,6 +51,11 @@ def _load():
     ]
     lib.vp8_token_encode.restype = ctypes.c_int
     lib.vp8_token_encode.argtypes = [i32p, i32p, ctypes.c_int, u8p, u8p, ctypes.c_int]
+    lib.vp8l_get_dims.restype = ctypes.c_int
+    lib.vp8l_get_dims.argtypes = [u8p, ctypes.c_int, i32p, i32p]
+    lib.vp8l_decode.restype = ctypes.c_int
+    lib.vp8l_decode.argtypes = [u8p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int, u8p]
     _lib = lib
     return lib
 
@@ -157,3 +164,17 @@ def vp8_token_encode(levels: np.ndarray, meta: np.ndarray, probs: np.ndarray) ->
     if n < 0:
         raise ValueError("vp8_token_encode overflow")
     return out[:n].tobytes()
+
+
+def vp8l_decode(data: bytes, width: int, height: int, implicit: bool = False):
+    """Native full VP8L decode to an [h, w, 4] uint8 RGBA array."""
+    lib = _load()
+    buf = np.frombuffer(bytes(data), np.uint8)
+    out = np.zeros((height, width, 4), np.uint8)
+    rc = lib.vp8l_decode(
+        _p(buf, ctypes.c_uint8), len(buf), width, height, 1 if implicit else 0,
+        _p(out, ctypes.c_uint8),
+    )
+    if rc != 0:
+        raise ValueError(f"vp8l_decode failed: {rc}")
+    return out
