@@ -33,6 +33,7 @@ def test_device_analysis_equals_python(goldens, q):
     enc.probs = T.COEFF_PROBS_DEFAULT.copy()
     enc.level_costs = C.LevelCosts(enc.probs)
     enc.stats = C.ProbaStats()
+    enc._setup_segments(qi)
     py = enc._analysis_arrays()
 
     out = encode_analysis_frame(
