@@ -73,3 +73,43 @@ def decode_vp8_frame_device(data: bytes):
     )
     frame = VP8Frame(dec.width, dec.height, np.asarray(y), np.asarray(u), np.asarray(v))
     return frame, np.asarray(rgb)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height"))
+def _device_decode_batch(
+    coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev_t, do_sub,
+    mbw: int, mbh: int, simple: bool, width: int, height: int,
+):
+    return jax.vmap(
+        lambda c, a, lm, bp, cm, lv, it, hv, ds: _device_decode(
+            c, a, lm, bp, cm, lv, it, hv, ds, mbw, mbh, simple, width, height
+        )[3]
+    )(coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev_t, do_sub)
+
+
+def decode_vp8_batch_device(payloads):
+    """Decode same-geometry VP8 chunks as one batched device call -> RGB [B,...]."""
+    decs = []
+    for p in payloads:
+        d = Vp8Decoder(bytes(p))
+        d.parse(allow_native=True)
+        decs.append(d)
+    d0 = decs[0]
+    stack = lambda f: jnp.asarray(np.stack([f(d) for d in decs]))
+    params = [d.filter_params_arrays() for d in decs]
+    do_sub = [
+        (d.luma_mode == 4) | (~d.skipped & d.non_zero_dct) for d in decs
+    ]
+    rgb = _device_decode_batch(
+        stack(lambda d: d.coeffs),
+        stack(lambda d: d.has_ac),
+        stack(lambda d: d.luma_mode),
+        stack(lambda d: d.bpred),
+        stack(lambda d: d.chroma_mode),
+        jnp.asarray(np.stack([p[0] for p in params])),
+        jnp.asarray(np.stack([p[1] for p in params])),
+        jnp.asarray(np.stack([p[2] for p in params])),
+        jnp.asarray(np.stack(do_sub)),
+        d0.mbw, d0.mbh, bool(d0.filter_type), d0.width, d0.height,
+    )
+    return np.asarray(rgb)

@@ -45,6 +45,22 @@ def _variable_level_cost(level: int, probas) -> int:
     return cost
 
 
+_LEVEL_COSTS_CACHE = {}
+
+
+def cached_level_costs(probs: np.ndarray) -> "LevelCosts":
+    """LevelCosts memoized by probability content (the default-probs table is
+    rebuilt for every encode otherwise — ~0.2 s of pure table math)."""
+    key = probs.tobytes()
+    hit = _LEVEL_COSTS_CACHE.get(key)
+    if hit is None:
+        hit = LevelCosts(probs)
+        if len(_LEVEL_COSTS_CACHE) > 8:
+            _LEVEL_COSTS_CACHE.clear()
+        _LEVEL_COSTS_CACHE[key] = hit
+    return hit
+
+
 class LevelCosts:
     """Precomputed cost tables from a token probability set."""
 

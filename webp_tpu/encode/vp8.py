@@ -73,10 +73,12 @@ class MBInfo:
 
 
 class Vp8Encoder:
-    def __init__(self, quality: int = 75, method: int = 4, backend: str = "python"):
+    def __init__(self, quality: int = 75, method: int = 4, backend: str = "python",
+                 two_pass: bool = True):
         self.quality = quality
         self.method = min(method, 6)
         self.backend = backend  # "python" | "device"
+        self.two_pass = two_pass
 
     # ------------------------------------------------------------- helpers
 
@@ -128,35 +130,50 @@ class Vp8Encoder:
         self.sharpness = 0
         self._setup_segments(qi)
         self.probs = T.COEFF_PROBS_DEFAULT.copy()
-        self.level_costs = C.LevelCosts(self.probs)
+        self.level_costs = C.cached_level_costs(self.probs)
         self.stats = C.ProbaStats()
 
-        # Mode-decision + reconstruction pass -> per-MB arrays.
-        arrays = self._analysis_arrays()
-
-        # Vectorized nnz contexts + skip flags.
         from .contexts import compute_contexts
 
-        skipped = (
-            (arrays["y_levels"] == 0).all(axis=(1, 2))
-            & (arrays["uv_levels"] == 0).all(axis=(1, 2))
-            & (arrays["y2_levels"] == 0).all(axis=1)
-        )
-        ctx = compute_contexts(
-            arrays["luma_mode"], arrays["y2_levels"], arrays["y_levels"],
-            arrays["uv_levels"], skipped, self.mbw, self.mbh,
-        )
-        arrays["skipped"] = skipped
+        def derive(arrays):
+            skipped = (
+                (arrays["y_levels"] == 0).all(axis=(1, 2))
+                & (arrays["uv_levels"] == 0).all(axis=(1, 2))
+                & (arrays["y2_levels"] == 0).all(axis=1)
+            )
+            ctx = compute_contexts(
+                arrays["luma_mode"], arrays["y2_levels"], arrays["y_levels"],
+                arrays["uv_levels"], skipped, self.mbw, self.mbh,
+            )
+            arrays["skipped"] = skipped
+            return ctx
 
-        # Adaptive probabilities from batched statistics.
+        # Pass 1 (no trellis): mode decision with default-probability costs,
+        # collecting token statistics for probability adaptation
+        # (reference two-pass flow, encoder vp8.rs:1317-1410).
+        saved_method = self.method
+        if self.two_pass:
+            self.method = min(self.method, 3)  # trellis off in the stats pass
+        arrays = self._analysis_arrays()
+        self.method = saved_method
+        ctx = derive(arrays)
         self._record_stats_arrays(arrays, ctx)
+        new_probs = self.stats.updated_probs(self.probs)
+
+        # Pass 2: re-decide with cost tables from the adapted probabilities
+        # (and trellis for method >= 4); tokens are then coded with the same
+        # adapted probabilities written in the header.
+        if self.two_pass:
+            self.level_costs = C.cached_level_costs(new_probs)
+            arrays = self._analysis_arrays()
+            ctx = derive(arrays)
+
+        skipped = arrays["skipped"]
         total = len(skipped)
         non_skip = int(total - skipped.sum())
         prob = (255 * non_skip + total // 2) // total if total else 255
         self.skip_prob = min(max(prob, 1), 254)
-        new_probs = self.stats.updated_probs(self.probs)
 
-        # Entropy-code everything.
         return self._write_bitstream_arrays(arrays, ctx, new_probs)
 
     def _analysis_arrays(self):
@@ -170,7 +187,8 @@ class Vp8Encoder:
             )
             out = encode_analysis_frame(
                 jnp.asarray(self.ybuf), jnp.asarray(self.ubuf), jnp.asarray(self.vbuf),
-                EncParams(self.seg), EncTables.default(), self.mbw, self.mbh, n_try,
+                EncParams(self.seg), EncTables.from_level_costs(self.level_costs),
+                self.mbw, self.mbh, n_try,
             )
             arrays = {k: np.asarray(v) for k, v in out.items()}
             # Device path leaves y2 zeroed for B MBs already.
@@ -364,6 +382,51 @@ class Vp8Encoder:
         self.segments_enabled = True
         self.segments_update_map = any(p != 255 for p in self.seg_tree_probs)
 
+    def _chroma_error_diffusion(self, dcts, preds, levels, mbx, top_derr, left_derr):
+        """Floyd-Steinberg-like DC error diffusion across 2x2 chroma blocks
+        (C1=7 top, C2=8 left, DSHIFT=4, DSCALE=1), then requantize DC and
+        reconstruct. Mutates the diffusion state arrays."""
+        seg = self.seg
+        q = int(seg.uv.q[0])
+        iq = int(seg.uv.iq[0])
+        bias = int(seg.uv.bias[0])
+        out_levels = levels.copy()
+        recs = []
+        for ci in range(2):
+            dct = dcts[ci].copy()
+            te = top_derr[mbx, ci]
+            le = left_derr[ci]
+
+            def diffuse(bi, t_err, l_err):
+                dc = int(dct[bi, 0]) + ((7 * int(t_err) + 8 * int(l_err)) >> 3)
+                dct[bi, 0] = dc
+                a = abs(dc)
+                level = (a * iq + bias) >> 17
+                err = a - level * q
+                err = -err if dc < 0 else err
+                return max(-127, min(127, err >> 1))
+
+            e0 = diffuse(0, te[0], le[0])
+            e1 = diffuse(1, te[1], e0)
+            e2 = diffuse(2, e0, le[1])
+            e3 = diffuse(3, e1, e2)
+            le[0] = e1
+            le[1] = (3 * e3) >> 2
+            te[0] = e2
+            te[1] = e3 - le[1]
+
+            lv = self._zz_quantize(seg.uv, dct)
+            out_levels[ci * 4 : ci * 4 + 4] = lv
+            dq = self._zz_dequantize(seg.uv, lv)
+            res = tx.idct4x4(dq)
+            rec = np.clip(
+                preds[ci] + res.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8),
+                0,
+                255,
+            ).astype(np.uint8)
+            recs.append(rec)
+        return out_levels, recs
+
     def _analysis_pass(self):
         mbw, mbh = self.mbw, self.mbh
         seg = self.seg
@@ -375,6 +438,8 @@ class Vp8Encoder:
         top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
         # Per-block-column Y nnz state for trellis contexts.
         top_cy = np.zeros((mbw, 4), np.int64)
+        # Chroma DC error-diffusion state [mbx][channel][2].
+        top_derr = np.zeros((mbw, 2, 2), np.int64)
 
         do_trellis = self.method >= 4
         wy = ET.VP8_WEIGHT_Y
@@ -386,6 +451,7 @@ class Vp8Encoder:
             left_v = np.full(9, 129, np.uint8)
             left_bpred = np.full(4, pr.B_DC, np.int32)
             left_cy = np.zeros(4, np.int64)
+            left_derr = np.zeros((2, 2), np.int64)
             for mbx in range(mbw):
                 mb = MBInfo()
                 if self.segments_enabled:
@@ -534,6 +600,8 @@ class Vp8Encoder:
                         continue
                     levels = np.zeros((8, 16), np.int32)
                     recs = []
+                    dcts = []
+                    cpreds = []
                     d = 0
                     for ci, (cws0, csrc) in enumerate(((uws0, usrc), (vws0, vsrc))):
                         cws = cws0.copy()
@@ -551,6 +619,8 @@ class Vp8Encoder:
                             resid.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 16)
                         )
                         dct = tx.dct4x4(blocks)
+                        dcts.append(dct)
+                        cpreds.append(cpred.astype(np.int32))
                         lv = self._zz_quantize(seg.uv, dct)
                         levels[ci * 4 : ci * 4 + 4] = lv
                         dq = self._zz_dequantize(seg.uv, lv)
@@ -569,9 +639,15 @@ class Vp8Encoder:
                         rate += C.FLATNESS_PENALTY * 8
                     score = rd_score(rate, d, seg.lambda_uv)
                     if best_uv is None or score < best_uv[0]:
-                        best_uv = (score, mode, levels, recs)
+                        best_uv = (score, mode, levels, recs, dcts, cpreds)
 
-                _, uv_mode, uv_levels, uv_recs = best_uv
+                _, uv_mode, uv_levels, uv_recs, uv_dcts, uv_preds = best_uv
+
+                # Chroma DC error diffusion on the chosen mode's coefficients
+                # (reference apply_chroma_error_diffusion, vp8.rs:572-647).
+                uv_levels, uv_recs = self._chroma_error_diffusion(
+                    uv_dcts, uv_preds, uv_levels, mbx, top_derr, left_derr
+                )
                 mb.chroma_mode = uv_mode
                 mb.uv_levels = uv_levels
                 for (cws0, leftb, topb, buf, rec) in (
@@ -815,3 +891,44 @@ class Vp8Encoder:
 
 def encode_frame_lossy(rgb: np.ndarray, quality: int = 75, method: int = 4) -> bytes:
     return Vp8Encoder(quality, method).encode(rgb)
+
+
+def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4) -> list:
+    """Encode same-geometry RGB frames with one batched device analysis call.
+
+    The wavefront RD search runs as a single vmapped kernel over the batch;
+    probability adaptation, contexts, and entropy coding finish per image on
+    the host. Returns a list of VP8 payloads.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.encode_wavefront import EncParams, EncTables, encode_analysis_batch
+
+    h, w = rgbs[0].shape[:2]
+    planes = [yuvops.rgb_to_yuv420(im) for im in rgbs]
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    qi = quality_to_quant_index(quality)
+    seg = SegmentParams(qi)
+    n_try = 0 if method <= 1 else (3 if method <= 3 else (4 if method == 4 else 10))
+
+    out = encode_analysis_batch(
+        jnp.asarray(np.stack([p[0] for p in planes])),
+        jnp.asarray(np.stack([p[1] for p in planes])),
+        jnp.asarray(np.stack([p[2] for p in planes])),
+        EncParams(seg),
+        EncTables.default(),
+        mbw,
+        mbh,
+        n_try,
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    results = []
+    for i, (y, u, v) in enumerate(planes):
+        enc = Vp8Encoder(quality, method, backend="device")
+        arrays = {k: out[k][i] for k in out}
+        enc._cached_arrays = arrays
+        orig = enc._analysis_arrays
+        enc._analysis_arrays = lambda a=arrays: a
+        results.append(enc.encode_yuv(y, u, v, w, h))
+    return results

@@ -61,12 +61,9 @@ class EncTables:
         self.fixed_i4 = jnp.asarray(fixed_i4, jnp.int32)  # [10,10,10]
 
     @classmethod
-    def default(cls):
-        from ..common import vp8_tables as T
-        from ..encode import costs as C
+    def from_level_costs(cls, lc):
         from ..encode import tables as ET
 
-        lc = C.LevelCosts(T.COEFF_PROBS_DEFAULT)
         return cls(
             lc,
             ET.VP8_ENTROPY_COST,
@@ -76,6 +73,13 @@ class EncTables:
             ET.FIXED_COSTS_UV,
             ET.VP8_FIXED_COSTS_I4,
         )
+
+    @classmethod
+    def default(cls):
+        from ..common import vp8_tables as T
+        from ..encode import costs as C
+
+        return cls.from_level_costs(C.cached_level_costs(T.COEFF_PROBS_DEFAULT))
 
 
 class EncParams:
@@ -298,6 +302,8 @@ def _uv_search(uws, vws, usrc, vsrc, mbx, mby, P, tbl):
     def eval_mode(mode):
         levels = []
         recs = []
+        dcts = []
+        preds = []
         d = jnp.int32(0)
         for ws, srcp in ((uws, usrc), (vws, vsrc)):
             pred = _predict_whole(ws, 8, jnp.int32(mode), mby != 0, mbx != 0)
@@ -307,6 +313,8 @@ def _uv_search(uws, vws, usrc, vsrc, mbx, mby, P, tbl):
             rec = _clip255(pred + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, P.uv_q))))
             levels.append(lv)
             recs.append(rec)
+            dcts.append(dct)
+            preds.append(pred)
             d = d + _sse(srcp[None], rec[None])[0]
         levels = jnp.concatenate(levels)  # [8, 16]
         cost = residual_costs_jax(levels, 2, 0, 0, tbl).sum()
@@ -314,15 +322,19 @@ def _uv_search(uws, vws, usrc, vsrc, mbx, mby, P, tbl):
         flat = (levels[:, 1:] != 0).sum() <= 2
         rate = jnp.where((mode != 0) & flat, rate + 140 * 8, rate)
         score = _rd_score32(rate, d, P.lambda_uv)
-        return score, levels, recs[0], recs[1]
+        return score, levels, recs, dcts, preds
 
-    scores, lvls, urecs, vrecs = [], [], [], []
+    scores, lvls, urecs, vrecs, udcts, vdcts, upreds, vpreds = [], [], [], [], [], [], [], []
     for mode in range(4):
-        s, lv, ur, vr = eval_mode(mode)
+        s, lv, recs, dcts, preds = eval_mode(mode)
         scores.append(s)
         lvls.append(lv)
-        urecs.append(ur)
-        vrecs.append(vr)
+        urecs.append(recs[0])
+        vrecs.append(recs[1])
+        udcts.append(dcts[0])
+        vdcts.append(dcts[1])
+        upreds.append(preds[0])
+        vpreds.append(preds[1])
     scores = jnp.stack(scores)
     allowed = jnp.stack(
         [
@@ -334,7 +346,52 @@ def _uv_search(uws, vws, usrc, vsrc, mbx, mby, P, tbl):
     )
     scores = jnp.where(allowed, scores, BIG)
     best = jnp.argmin(scores)
-    return best, jnp.stack(lvls)[best], jnp.stack(urecs)[best], jnp.stack(vrecs)[best]
+    pick = lambda xs: jnp.stack(xs)[best]
+    return (best, pick(lvls), pick(urecs), pick(vrecs),
+            (pick(udcts), pick(vdcts)), (pick(upreds), pick(vpreds)))
+
+
+def _chroma_diffusion_j(dcts, preds, P, top_err, left_err):
+    """Device chroma DC error diffusion (C1=7/C2=8, DSHIFT-DSCALE=3).
+
+    dcts/preds: ([4,16] dct, [8,8] pred) per channel; top_err/left_err:
+    [2, 2] int32 state. Returns (levels [8,16], urec, vrec, new_top, new_left).
+    """
+    q = P.uv_q[0]
+    iq = P.uv_iq[0]
+    bias = P.uv_bias[0]
+    out_levels = []
+    recs = []
+    new_top = []
+    new_left = []
+    for ci in range(2):
+        dct = dcts[ci]
+        te = top_err[ci]
+        le = left_err[ci]
+
+        def diffuse(dct, bi, t_err, l_err):
+            dc = dct[bi, 0] + ((7 * t_err + 8 * l_err) >> 3)
+            dct = dct.at[bi, 0].set(dc)
+            a = jnp.abs(dc)
+            level = (a * iq + bias) >> 17
+            err = a - level * q
+            err = jnp.where(dc < 0, -err, err)
+            return dct, jnp.clip(err >> 1, -127, 127)
+
+        dct, e0 = diffuse(dct, 0, te[0], le[0])
+        dct, e1 = diffuse(dct, 1, te[1], e0)
+        dct, e2 = diffuse(dct, 2, e0, le[1])
+        dct, e3 = diffuse(dct, 3, e1, e2)
+        nl1 = (3 * e3) >> 2
+        new_left.append(jnp.stack([e1, nl1]))
+        new_top.append(jnp.stack([e2, e3 - nl1]))
+
+        lv = _quant_zz(dct, P.uv_iq, P.uv_bias)
+        out_levels.append(lv)
+        rec = _clip255(preds[ci] + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, P.uv_q))))
+        recs.append(rec)
+    return (jnp.concatenate(out_levels), recs[0], recs[1],
+            jnp.stack(new_top), jnp.stack(new_left))
 
 
 def encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int, mbh: int, n_try: int):
@@ -372,6 +429,8 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
         left_v=jnp.full((mbh, 9), 129, jnp.int32),
         top_bpred=jnp.zeros((mbw, 4), jnp.int32),
         left_bpred=jnp.zeros((mbh, 4), jnp.int32),
+        top_derr=jnp.zeros((mbw, 2, 2), jnp.int32),
+        left_derr=jnp.zeros((mbh, 2, 2), jnp.int32),
         luma_mode=jnp.zeros(nmb, jnp.int32),
         chroma_mode=jnp.zeros(nmb, jnp.int32),
         bpred=jnp.zeros((nmb, 16), jnp.int32),
@@ -380,7 +439,7 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
         uv_levels=jnp.zeros((nmb, 8, 16), jnp.int32),
     )
 
-    def mb_kernel(x, y, top_y, top_u, top_v, left_y_row, left_u_row, left_v_row, tb, lb):
+    def mb_kernel(x, y, top_y, top_u, top_v, left_y_row, left_u_row, left_v_row, tb, lb, tde, lde):
         src = jax.lax.dynamic_slice(y_src, (y * 16, x * 16), (16, 16))
         usrc = jax.lax.dynamic_slice(u_src, (y * 8, x * 8), (8, 8))
         vsrc = jax.lax.dynamic_slice(v_src, (y * 8, x * 8), (8, 8))
@@ -418,7 +477,12 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
 
         uws0 = _build_ws_chroma(x, y, top_u, left_u_row)
         vws0 = _build_ws_chroma(x, y, top_v, left_v_row)
-        uv_mode, uv_levels, urec, vrec = _uv_search(uws0, vws0, usrc, vsrc, x, y, P, tbl)
+        uv_mode, uv_levels, urec, vrec, uv_dcts, uv_preds = _uv_search(
+            uws0, vws0, usrc, vsrc, x, y, P, tbl
+        )
+        uv_levels, urec, vrec, new_tde, new_lde = _chroma_diffusion_j(
+            uv_dcts, uv_preds, P, tde, lde
+        )
 
         new_left_y = jnp.concatenate([ws0[0:1, 16], luma_rec[:, 15]])
         new_left_u = jnp.concatenate([uws0[0:1, 8], urec[:, 7]])
@@ -427,21 +491,23 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
         return (
             luma_rec, urec, vrec, new_left_y, new_left_u, new_left_v,
             luma_mode, bpred_out, y_levels, y2_levels, uv_mode, uv_levels,
-            new_tb, new_lb,
+            new_tb, new_lb, new_tde, new_lde,
         )
 
     def step(state, inputs):
         x, y, ok = inputs
         out = jax.vmap(
             mb_kernel,
-            in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0),
+            in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0),
         )(
             x, y,
             state["top_y"], state["top_u"], state["top_v"],
             state["left_y"][y], state["left_u"][y], state["left_v"][y],
             state["top_bpred"][x], state["left_bpred"][y],
+            state["top_derr"][x], state["left_derr"][y],
         )
-        (yblk, ublk, vblk, nly, nlu, nlv, lmode, bp, ylv, y2lv, cmode, uvlv, ntb, nlb) = out
+        (yblk, ublk, vblk, nly, nlu, nlv, lmode, bp, ylv, y2lv, cmode, uvlv,
+         ntb, nlb, ntde, nlde) = out
 
         ox = jnp.where(ok, x, mbw + 100)
         oy = jnp.where(ok, y, mbh + 100)
@@ -471,6 +537,8 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
         state["left_v"] = state["left_v"].at[oy].set(nlv, mode="drop")
         state["top_bpred"] = state["top_bpred"].at[ox].set(ntb, mode="drop")
         state["left_bpred"] = state["left_bpred"].at[oy].set(nlb, mode="drop")
+        state["top_derr"] = state["top_derr"].at[ox].set(ntde, mode="drop")
+        state["left_derr"] = state["left_derr"].at[oy].set(nlde, mode="drop")
 
         state["luma_mode"] = state["luma_mode"].at[oidx].set(lmode, mode="drop")
         state["chroma_mode"] = state["chroma_mode"].at[oidx].set(cmode, mode="drop")
@@ -526,3 +594,11 @@ def _enctables_unflatten(aux, leaves):
     t = EncTables.__new__(EncTables)
     (t.pos_cost, t.p0, t.fixed, t.ent, t.weight_y, t.fixed_i16, t.fixed_uv, t.fixed_i4) = leaves
     return t
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try"))
+def encode_analysis_batch(ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int):
+    """Batched (vmapped) frame analysis: [B, ...] planes -> batched decisions."""
+    return jax.vmap(
+        lambda y, u, v: _encode_analysis_frame(y, u, v, params_tree, tables_tree, mbw, mbh, n_try)
+    )(ybufs, ubufs, vbufs)
