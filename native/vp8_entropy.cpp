@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -683,6 +684,194 @@ int vp8_token_encode(const int32_t* levels, const int32_t* meta, int n_blocks,
     e.flush();
     if (e.overflow) return -1;
     return e.len;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- MB headers
+
+namespace {
+
+// Generic tree path tables (bit<<4 | node), 0xFF terminated.
+struct TreePaths {
+    uint8_t path[16][12];
+    void build(const int8_t* tree, int len) {
+        memset(path, 0xFF, sizeof(path));
+        uint8_t prefix[12];
+        walk(tree, 0, 0, prefix);
+        (void)len;
+    }
+    void walk(const int8_t* tree, int idx, int depth, uint8_t* prefix) {
+        for (int bit = 0; bit < 2; bit++) {
+            prefix[depth] = (uint8_t)((bit << 4) | (idx >> 1));
+            int t = tree[idx + bit];
+            if (t <= 0) {
+                int v = -t;
+                for (int k = 0; k <= depth; k++) path[v][k] = prefix[k];
+                if (depth + 1 < 12) path[v][depth + 1] = 0xFF;
+            } else {
+                walk(tree, t, depth + 1, prefix);
+            }
+        }
+    }
+};
+
+struct MbHeaderTables {
+    TreePaths ymode, uv, bpred, seg;
+    MbHeaderTables() {
+        ymode.build(YMODE_TREE, 8);
+        uv.build(UV_TREE, 6);
+        bpred.build(BPRED_TREE, 18);
+        seg.build(SEGMENT_TREE, 6);
+    }
+};
+const MbHeaderTables MB_TABLES;
+
+static inline void write_path(BoolEnc& e, const TreePaths& tp, int value, const uint8_t* probs) {
+    const uint8_t* p = tp.path[value];
+    for (int k = 0; k < 12 && p[k] != 0xFF; k++) e.write_bool(p[k] >> 4, probs[p[k] & 0xF]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Continue an in-progress boolean encoder with all MB headers, then flush.
+// state_in: partial output bytes (header fields already written).
+// Returns total length written to out (state_in copied to its head), or <0.
+int vp8_mbheader_encode(const uint8_t* state_bytes, int state_len, uint32_t bottom,
+                        uint32_t range_, int bit_num, const int32_t* luma_mode,
+                        const int32_t* bpred, const int32_t* chroma_mode,
+                        const int32_t* segment_ids, const uint8_t* skipped, int nmb,
+                        int mbw, int skip_prob, int write_segments,
+                        const uint8_t* seg_tree_probs, const uint8_t* bpred_probs,
+                        uint8_t* out, int out_cap) {
+    if (state_len > out_cap) return -1;
+    memcpy(out, state_bytes, state_len);
+    BoolEnc e;
+    e.init(out, out_cap);
+    e.len = state_len;
+    e.bottom = bottom;
+    e.range = range_;
+    e.bit_num = bit_num;
+
+    static const int LUMA_TO_B[4] = {0, 2, 3, 1};
+    std::vector<int32_t> top_bpred((size_t)mbw * 4, 0);
+    int mbh = nmb / mbw;
+    for (int mby = 0; mby < mbh; mby++) {
+        int32_t left_bpred[4] = {0, 0, 0, 0};
+        for (int mbx = 0; mbx < mbw; mbx++) {
+            int i = mby * mbw + mbx;
+            if (write_segments)
+                write_path(e, MB_TABLES.seg, segment_ids[i], seg_tree_probs);
+            e.write_bool(skipped[i] ? 1 : 0, skip_prob);
+            int lm = luma_mode[i];
+            write_path(e, MB_TABLES.ymode, lm, YMODE_PROBS);
+            if (lm == 4) {
+                for (int sy = 0; sy < 4; sy++) {
+                    for (int sx = 0; sx < 4; sx++) {
+                        int m = bpred[(size_t)i * 16 + sy * 4 + sx];
+                        const uint8_t* probs =
+                            bpred_probs + (top_bpred[mbx * 4 + sx] * 10 + left_bpred[sy]) * 9;
+                        write_path(e, MB_TABLES.bpred, m, probs);
+                        top_bpred[mbx * 4 + sx] = m;
+                        left_bpred[sy] = m;
+                    }
+                }
+            } else {
+                int bm = LUMA_TO_B[lm];
+                for (int k = 0; k < 4; k++) {
+                    top_bpred[mbx * 4 + k] = bm;
+                    left_bpred[k] = bm;
+                }
+            }
+            write_path(e, MB_TABLES.uv, chroma_mode[i], UV_PROBS);
+        }
+    }
+    e.flush();
+    if (e.overflow) return -2;
+    return e.len;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Token statistics for probability adaptation: counts (total, ones) per
+// [plane][band][ctx][node] over level blocks, mirroring the encoder's
+// skip-eob walk (webp_tpu/encode/costs.py record_blocks).
+int vp8_token_stats(const int32_t* levels, const int32_t* meta, int n_blocks,
+                    int64_t* totals, int64_t* ones) {
+    auto rec = [&](int t, int band, int ctx, int node, int bit) {
+        size_t idx = (((size_t)t * 8 + band) * 3 + ctx) * 11 + node;
+        totals[idx]++;
+        ones[idx] += bit;
+    };
+    for (int bi = 0; bi < n_blocks; bi++) {
+        const int32_t* blk = levels + (size_t)bi * 16;
+        int t = meta[bi * 4 + 0];
+        int first = meta[bi * 4 + 1];
+        int ctx = meta[bi * 4 + 2];
+        int end = 0;
+        for (int k = 15; k >= first; k--)
+            if (blk[k] != 0) {
+                end = k + 1;
+                break;
+            }
+        if (end <= first) {
+            rec(t, COEFF_BANDS[first], ctx, 0, 0);
+            continue;
+        }
+        int skip_eob = 0;
+        int n = first;
+        while (n < end) {
+            int band = COEFF_BANDS[n];
+            int v = blk[n] < 0 ? -blk[n] : blk[n];
+            n++;
+            if (!skip_eob) rec(t, band, ctx, 0, 1);
+            if (v == 0) {
+                rec(t, band, ctx, 1, 0);
+                skip_eob = 1;
+                ctx = 0;
+                continue;
+            }
+            rec(t, band, ctx, 1, 1);
+            skip_eob = 0;
+            if (v == 1) {
+                rec(t, band, ctx, 2, 0);
+                ctx = 1;
+            } else {
+                rec(t, band, ctx, 2, 1);
+                int vc = v < 67 ? v : 67;
+                if (vc <= 4) {
+                    rec(t, band, ctx, 3, 0);
+                    if (vc == 2) {
+                        rec(t, band, ctx, 4, 0);
+                    } else {
+                        rec(t, band, ctx, 4, 1);
+                        rec(t, band, ctx, 5, vc == 4);
+                    }
+                } else if (vc <= 10) {
+                    rec(t, band, ctx, 3, 1);
+                    rec(t, band, ctx, 6, 0);
+                    rec(t, band, ctx, 7, vc > 6);
+                } else {
+                    rec(t, band, ctx, 3, 1);
+                    rec(t, band, ctx, 6, 1);
+                    if (vc < 3 + (8 << 2)) {
+                        rec(t, band, ctx, 8, 0);
+                        rec(t, band, ctx, 9, vc >= 3 + (8 << 1));
+                    } else {
+                        rec(t, band, ctx, 8, 1);
+                        rec(t, band, ctx, 10, vc >= 3 + (8 << 3));
+                    }
+                }
+                ctx = 2;
+            }
+        }
+        if (n < 16) rec(t, COEFF_BANDS[n], ctx, 0, 0);
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -60,6 +60,24 @@ def decode_rgb(data):
     return img, d.width, d.height
 
 
+def decode_rgba_into(data, out):
+    """Decode into a caller-provided [h, w, 4] uint8 buffer."""
+    img, w, h = decode_rgba(data)
+    if out.shape != img.shape:
+        raise DecodingError(f"output buffer shape {out.shape} != {img.shape}")
+    out[...] = img
+    return out
+
+
+def decode_rgb_into(data, out):
+    """Decode into a caller-provided [h, w, 3] uint8 buffer."""
+    img, w, h = decode_rgb(data)
+    if out.shape != img.shape:
+        raise DecodingError(f"output buffer shape {out.shape} != {img.shape}")
+    out[...] = img
+    return out
+
+
 __all__ = [
     "WebPDecoder",
     "ImageInfo",
@@ -74,6 +92,8 @@ __all__ = [
     "encode_lossless_rgba",
     "decode_rgb",
     "decode_rgba",
+    "decode_rgb_into",
+    "decode_rgba_into",
     "WebPError",
     "DecodingError",
     "EncodingError",

@@ -217,6 +217,17 @@ class Vp8Encoder:
 
     def _record_stats_arrays(self, arrays, ctx):
         """Batched token statistics over all non-skipped blocks."""
+        try:
+            from ..io import native
+
+            if native.available():
+                levels, meta = self._token_stream(arrays, ctx)
+                totals, ones = native.vp8_token_stats(levels, meta)
+                self.stats.total += totals
+                self.stats.ones += ones
+                return
+        except Exception:
+            pass
         act = ~arrays["skipped"]
         has_y2 = ctx["has_y2"]
         y2_sel = act & has_y2
@@ -826,39 +837,53 @@ class Vp8Encoder:
         hw.write_literal(1, 1)  # mb_no_skip_coeff enabled
         hw.write_literal(8, self.skip_prob)
 
-        # MB headers (into the header partition).
+        # MB headers (into the header partition): native fast path.
         mbw = self.mbw
         luma_mode = arrays["luma_mode"]
         chroma_mode = arrays["chroma_mode"]
         bpred_arr = arrays["bpred"]
         skipped = arrays["skipped"]
-        top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
-        for mby in range(self.mbh):
-            left_bpred = np.full(4, pr.B_DC, np.int32)
-            for mbx in range(mbw):
-                i = mby * mbw + mbx
-                if self.segments_enabled and self.segments_update_map:
-                    hw.write_with_path(
-                        _SEG_PATHS[int(self.segment_map[i])], self.seg_tree_probs
-                    )
-                hw.write_bool(1 if skipped[i] else 0, self.skip_prob)
-                lm = int(luma_mode[i])
-                hw.write_with_path(_YMODE_PATHS[lm], T.KEYFRAME_YMODE_PROBS)
-                if lm == 4:
-                    for sy in range(4):
-                        for sx in range(4):
-                            m = int(bpred_arr[i, sy * 4 + sx])
-                            probs_ctx = T.KEYFRAME_BPRED_MODE_PROBS[
-                                int(top_bpred[mbx, sx]), int(left_bpred[sy])
-                            ]
-                            hw.write_with_path(_BPRED_PATHS[m], probs_ctx)
-                            top_bpred[mbx, sx] = m
-                            left_bpred[sy] = m
-                else:
-                    bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[lm]
-                    top_bpred[mbx] = bmode
-                    left_bpred[:] = bmode
-                hw.write_with_path(_UV_PATHS[int(chroma_mode[i])], T.KEYFRAME_UV_MODE_PROBS)
+        header_bytes = None
+        try:
+            from ..io import native
+
+            if native.available():
+                header_bytes = native.vp8_mbheader_encode(
+                    hw, luma_mode, bpred_arr, chroma_mode, self.segment_map,
+                    skipped, mbw, self.skip_prob,
+                    self.segments_enabled and self.segments_update_map,
+                    self.seg_tree_probs,
+                )
+        except Exception:
+            header_bytes = None
+        if header_bytes is None:
+            top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
+            for mby in range(self.mbh):
+                left_bpred = np.full(4, pr.B_DC, np.int32)
+                for mbx in range(mbw):
+                    i = mby * mbw + mbx
+                    if self.segments_enabled and self.segments_update_map:
+                        hw.write_with_path(
+                            _SEG_PATHS[int(self.segment_map[i])], self.seg_tree_probs
+                        )
+                    hw.write_bool(1 if skipped[i] else 0, self.skip_prob)
+                    lm = int(luma_mode[i])
+                    hw.write_with_path(_YMODE_PATHS[lm], T.KEYFRAME_YMODE_PROBS)
+                    if lm == 4:
+                        for sy in range(4):
+                            for sx in range(4):
+                                m = int(bpred_arr[i, sy * 4 + sx])
+                                probs_ctx = T.KEYFRAME_BPRED_MODE_PROBS[
+                                    int(top_bpred[mbx, sx]), int(left_bpred[sy])
+                                ]
+                                hw.write_with_path(_BPRED_PATHS[m], probs_ctx)
+                                top_bpred[mbx, sx] = m
+                                left_bpred[sy] = m
+                    else:
+                        bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[lm]
+                        top_bpred[mbx] = bmode
+                        left_bpred[:] = bmode
+                    hw.write_with_path(_UV_PATHS[int(chroma_mode[i])], T.KEYFRAME_UV_MODE_PROBS)
 
         # Residual tokens (partition 1): native fast path, python fallback.
         levels, meta = self._token_stream(arrays, ctx)
@@ -876,7 +901,8 @@ class Vp8Encoder:
                 self._write_block(part, lv, int(m[0]), int(m[1]), int(m[2]), self.probs)
             part_bytes = part.flush()
 
-        header_bytes = header.flush()
+        if header_bytes is None:
+            header_bytes = header.flush()
 
         out = bytearray()
         tag = (len(header_bytes) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
@@ -925,10 +951,10 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4) -> list:
 
     results = []
     for i, (y, u, v) in enumerate(planes):
-        enc = Vp8Encoder(quality, method, backend="device")
+        # Throughput path: one analysis pass; tokens are still coded with the
+        # probabilities adapted from that pass's statistics.
+        enc = Vp8Encoder(quality, method, backend="device", two_pass=False)
         arrays = {k: out[k][i] for k in out}
-        enc._cached_arrays = arrays
-        orig = enc._analysis_arrays
         enc._analysis_arrays = lambda a=arrays: a
         results.append(enc.encode_yuv(y, u, v, w, h))
     return results

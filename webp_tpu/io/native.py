@@ -51,6 +51,16 @@ def _load():
     ]
     lib.vp8_token_encode.restype = ctypes.c_int
     lib.vp8_token_encode.argtypes = [i32p, i32p, ctypes.c_int, u8p, u8p, ctypes.c_int]
+    lib.vp8_token_stats.restype = ctypes.c_int
+    lib.vp8_token_stats.argtypes = [i32p, i32p, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.POINTER(ctypes.c_int64)]
+    lib.vp8_mbheader_encode.restype = ctypes.c_int
+    lib.vp8_mbheader_encode.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+        i32p, i32p, i32p, i32p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u8p, u8p, u8p, ctypes.c_int,
+    ]
     lib.vp8l_get_dims.restype = ctypes.c_int
     lib.vp8l_get_dims.argtypes = [u8p, ctypes.c_int, i32p, i32p]
     lib.vp8l_decode.restype = ctypes.c_int
@@ -178,3 +188,53 @@ def vp8l_decode(data: bytes, width: int, height: int, implicit: bool = False):
     if rc != 0:
         raise ValueError(f"vp8l_decode failed: {rc}")
     return out
+
+
+def vp8_mbheader_encode(enc_state, luma_mode, bpred, chroma_mode, segment_ids,
+                        skipped, mbw, skip_prob, write_segments, seg_tree_probs):
+    """Continue a Python BoolEncoder with all MB headers in C++ and flush.
+
+    enc_state: the in-progress BoolEncoder (frame header already written).
+    Returns the final header-partition bytes.
+    """
+    lib = _load()
+    state_bytes = np.frombuffer(bytes(enc_state.out), np.uint8)
+    nmb = len(luma_mode)
+    cap = len(state_bytes) + nmb * 16 + 4096
+    out = np.zeros(cap, np.uint8)
+    luma_mode = np.ascontiguousarray(luma_mode, np.int32)
+    bpred = np.ascontiguousarray(bpred, np.int32)
+    chroma_mode = np.ascontiguousarray(chroma_mode, np.int32)
+    segment_ids = np.ascontiguousarray(segment_ids, np.int32)
+    skipped_u8 = np.ascontiguousarray(skipped, np.uint8)
+    seg_probs = np.ascontiguousarray(seg_tree_probs, np.uint8)
+    n = lib.vp8_mbheader_encode(
+        _p(state_bytes, ctypes.c_uint8) if len(state_bytes) else
+        np.zeros(1, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(state_bytes),
+        ctypes.c_uint32(enc_state.bottom), ctypes.c_uint32(enc_state.range),
+        enc_state.bit_num,
+        _p(luma_mode, ctypes.c_int32), _p(bpred, ctypes.c_int32),
+        _p(chroma_mode, ctypes.c_int32), _p(segment_ids, ctypes.c_int32),
+        _p(skipped_u8, ctypes.c_uint8), nmb, mbw, skip_prob,
+        1 if write_segments else 0, _p(seg_probs, ctypes.c_uint8),
+        _p(_BPRED_PROBS, ctypes.c_uint8), _p(out, ctypes.c_uint8), cap,
+    )
+    if n < 0:
+        raise ValueError(f"vp8_mbheader_encode failed: {n}")
+    return out[:n].tobytes()
+
+
+def vp8_token_stats(levels, meta):
+    """C++ token-statistics pass; returns (totals, ones) [4,8,3,11] int64."""
+    lib = _load()
+    levels = np.ascontiguousarray(levels, np.int32)
+    meta = np.ascontiguousarray(meta, np.int32)
+    totals = np.zeros((4, 8, 3, 11), np.int64)
+    ones = np.zeros((4, 8, 3, 11), np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.vp8_token_stats(
+        _p(levels, ctypes.c_int32), _p(meta, ctypes.c_int32), len(levels),
+        totals.ctypes.data_as(i64p), ones.ctypes.data_as(i64p),
+    )
+    return totals, ones
