@@ -24,7 +24,9 @@ from .wavefront import (
     _clip255,
     _predict_b_all_mat,
     _predict_whole,
+    assemble_plane,
     diagonal_schedule,
+    inverse_schedule,
 )
 from . import jax_ops
 
@@ -431,12 +433,6 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
         left_bpred=jnp.zeros((mbh, 4), jnp.int32),
         top_derr=jnp.zeros((mbw, 2, 2), jnp.int32),
         left_derr=jnp.zeros((mbh, 2, 2), jnp.int32),
-        luma_mode=jnp.zeros(nmb, jnp.int32),
-        chroma_mode=jnp.zeros(nmb, jnp.int32),
-        bpred=jnp.zeros((nmb, 16), jnp.int32),
-        y2_levels=jnp.zeros((nmb, 16), jnp.int32),
-        y_levels=jnp.zeros((nmb, 16, 16), jnp.int32),
-        uv_levels=jnp.zeros((nmb, 8, 16), jnp.int32),
     )
 
     def mb_kernel(x, y, top_y, top_u, top_v, left_y_row, left_u_row, left_v_row, tb, lb, tde, lde):
@@ -511,7 +507,6 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
 
         ox = jnp.where(ok, x, mbw + 100)
         oy = jnp.where(ok, y, mbh + 100)
-        oidx = jnp.where(ok, y * mbw + x, nmb + 100)
         r16 = jnp.arange(16)
         r8 = jnp.arange(8)
 
@@ -539,23 +534,19 @@ def _encode_analysis_frame(ybuf, ubuf, vbuf, params_tree, tables_tree, mbw: int,
         state["left_bpred"] = state["left_bpred"].at[oy].set(nlb, mode="drop")
         state["top_derr"] = state["top_derr"].at[ox].set(ntde, mode="drop")
         state["left_derr"] = state["left_derr"].at[oy].set(nlde, mode="drop")
+        return state, (lmode, cmode, bp, ylv, y2lv, uvlv)
 
-        state["luma_mode"] = state["luma_mode"].at[oidx].set(lmode, mode="drop")
-        state["chroma_mode"] = state["chroma_mode"].at[oidx].set(cmode, mode="drop")
-        state["bpred"] = state["bpred"].at[oidx].set(bp, mode="drop")
-        state["y_levels"] = state["y_levels"].at[oidx].set(ylv, mode="drop")
-        state["y2_levels"] = state["y2_levels"].at[oidx].set(y2lv, mode="drop")
-        state["uv_levels"] = state["uv_levels"].at[oidx].set(uvlv, mode="drop")
-        return state, None
-
-    state, _ = jax.lax.scan(step, state, (xs, ys, valid))
+    state, outs = jax.lax.scan(step, state, (xs, ys, valid))
+    lmode, cmode, bp, ylv, y2lv, uvlv = outs
+    t_of, lane_of = inverse_schedule(mbw, mbh)
+    pick = lambda a: a[t_of, lane_of]
     return dict(
-        luma_mode=state["luma_mode"],
-        chroma_mode=state["chroma_mode"],
-        bpred=state["bpred"],
-        y_levels=state["y_levels"],
-        y2_levels=state["y2_levels"],
-        uv_levels=state["uv_levels"],
+        luma_mode=pick(lmode),
+        chroma_mode=pick(cmode),
+        bpred=pick(bp),
+        y_levels=pick(ylv),
+        y2_levels=pick(y2lv),
+        uv_levels=pick(uvlv),
     )
 
 

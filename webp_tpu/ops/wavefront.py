@@ -266,6 +266,38 @@ def diagonal_schedule(mbw: int, mbh: int):
     return jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(valid)
 
 
+@functools.lru_cache(maxsize=None)
+def inverse_schedule(mbw: int, mbh: int):
+    """Static (t, lane) of each MB in raster order — lets per-step outputs be
+    stacked by the scan and assembled afterwards with one static-index gather
+    instead of per-step plane scatters (TPU scatters are slow)."""
+    T = mbw + 2 * (mbh - 1)
+    t_of = np.zeros(mbw * mbh, np.int32)
+    lane_of = np.zeros(mbw * mbh, np.int32)
+    for t in range(T):
+        lane = 0
+        for y in range(mbh):
+            x = t - 2 * y
+            if 0 <= x < mbw:
+                t_of[y * mbw + x] = t
+                lane_of[y * mbw + x] = lane
+                lane += 1
+    # numpy (not jnp): this cache may be populated inside a trace, and cached
+    # tracers would leak across jit calls.
+    return t_of, lane_of
+
+
+def assemble_plane(stacked, mbw: int, mbh: int, size: int):
+    """[T, D, size, size] per-step MB outputs -> [mbh*size, mbw*size] plane."""
+    t_of, lane_of = inverse_schedule(mbw, mbh)
+    mbs = stacked[t_of, lane_of]
+    return (
+        mbs.reshape(mbh, mbw, size, size)
+        .transpose(0, 2, 1, 3)
+        .reshape(mbh * size, mbw * size)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh"))
 def reconstruct_frame(residuals, luma_mode, bpred, chroma_mode, mbw: int, mbh: int):
     """Reconstruct Y/U/V planes from per-MB residuals and modes.
@@ -277,9 +309,6 @@ def reconstruct_frame(residuals, luma_mode, bpred, chroma_mode, mbw: int, mbh: i
     T, D = xs.shape
 
     state = dict(
-        ybuf=jnp.zeros((mbh * 16, mbw * 16), jnp.int32),
-        ubuf=jnp.zeros((mbh * 8, mbw * 8), jnp.int32),
-        vbuf=jnp.zeros((mbh * 8, mbw * 8), jnp.int32),
         top_y=jnp.full(((mbw * 16) + 4,), 127, jnp.int32),
         top_u=jnp.full((mbw * 8 + 4,), 127, jnp.int32),
         top_v=jnp.full((mbw * 8 + 4,), 127, jnp.int32),
@@ -335,25 +364,11 @@ def reconstruct_frame(residuals, luma_mode, bpred, chroma_mode, mbw: int, mbh: i
         )
         yblk, ublk, vblk, nly, nlu, nlv = out
 
-        # Scatter with dropped lanes for masked entries.
         ox = jnp.where(ok, x, mbw + 10)  # out of bounds -> dropped
         oy = jnp.where(ok, y, mbh + 10)
         r16 = jnp.arange(16)
         r8 = jnp.arange(8)
-
         state = dict(state)
-        state["ybuf"] = state["ybuf"].at[
-            (oy[:, None, None] * 16 + r16[None, :, None]),
-            (ox[:, None, None] * 16 + r16[None, None, :]),
-        ].set(yblk, mode="drop")
-        state["ubuf"] = state["ubuf"].at[
-            (oy[:, None, None] * 8 + r8[None, :, None]),
-            (ox[:, None, None] * 8 + r8[None, None, :]),
-        ].set(ublk, mode="drop")
-        state["vbuf"] = state["vbuf"].at[
-            (oy[:, None, None] * 8 + r8[None, :, None]),
-            (ox[:, None, None] * 8 + r8[None, None, :]),
-        ].set(vblk, mode="drop")
 
         # Top borders: bottom row of each reconstructed MB.
         state["top_y"] = state["top_y"].at[
@@ -377,13 +392,13 @@ def reconstruct_frame(residuals, luma_mode, bpred, chroma_mode, mbw: int, mbh: i
         state["left_y"] = state["left_y"].at[oy].set(nly, mode="drop")
         state["left_u"] = state["left_u"].at[oy].set(nlu, mode="drop")
         state["left_v"] = state["left_v"].at[oy].set(nlv, mode="drop")
-        return state, None
+        return state, (yblk, ublk, vblk)
 
-    state, _ = jax.lax.scan(step, state, (xs, ys, valid))
+    state, (sy, su, sv) = jax.lax.scan(step, state, (xs, ys, valid))
     return (
-        state["ybuf"].astype(jnp.uint8),
-        state["ubuf"].astype(jnp.uint8),
-        state["vbuf"].astype(jnp.uint8),
+        assemble_plane(sy, mbw, mbh, 16).astype(jnp.uint8),
+        assemble_plane(su, mbw, mbh, 8).astype(jnp.uint8),
+        assemble_plane(sv, mbw, mbh, 8).astype(jnp.uint8),
     )
 
 
