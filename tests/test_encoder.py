@@ -127,3 +127,16 @@ def test_decode_libwebp_encodes(photo):
         ours = WebPDecoder(data).read_image()
         theirs = libwebp_decode(data)
         np.testing.assert_array_equal(ours[:, :, :3], theirs[:, :, :3], err_msg=str(kw))
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_multi_partition_encode(photo, n):
+    from webp_tpu.encode.vp8 import Vp8Encoder
+
+    small = photo[:96, :112]
+    vp8 = Vp8Encoder(75, 4, num_partitions=n).encode(small)
+    chunk = b"VP8 " + len(vp8).to_bytes(4, "little") + vp8 + (b"\x00" if len(vp8) & 1 else b"")
+    data = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    ours = WebPDecoder(data).read_image()
+    theirs = libwebp_decode(data)
+    np.testing.assert_array_equal(ours, theirs)

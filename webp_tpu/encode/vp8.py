@@ -74,11 +74,13 @@ class MBInfo:
 
 class Vp8Encoder:
     def __init__(self, quality: int = 75, method: int = 4, backend: str = "python",
-                 two_pass: bool = True):
+                 two_pass: bool = True, num_partitions: int = 1):
+        assert num_partitions in (1, 2, 4, 8)
         self.quality = quality
         self.method = min(method, 6)
         self.backend = backend  # "python" | "device"
         self.two_pass = two_pass
+        self.num_partitions = num_partitions
 
     # ------------------------------------------------------------- helpers
 
@@ -271,11 +273,13 @@ class Vp8Encoder:
         valid &= act[:, None]
 
         sel = valid.reshape(-1)
+        mby = np.repeat(np.arange(nmb, dtype=np.int32) // self.mbw, 25)
         levels = all_levels.reshape(-1, 16)[sel]
         meta = np.zeros((len(levels), 4), np.int32)
         meta[:, 0] = plane.reshape(-1)[sel]
         meta[:, 1] = first.reshape(-1)[sel]
         meta[:, 2] = ctxs.reshape(-1)[sel]
+        meta[:, 3] = mby[sel]  # MB row, for partition interleaving
         return levels, meta
 
     # -------------------------------------------------- mode decision pass
@@ -811,7 +815,7 @@ class Vp8Encoder:
         hw.write_literal(6, self.filter_level)
         hw.write_literal(3, self.sharpness)
         hw.write_flag(False)    # no loop filter adjustments
-        hw.write_literal(2, 0)  # log2(num partitions) = 0 -> 1 partition
+        hw.write_literal(2, self.num_partitions.bit_length() - 1)
 
         # Quantizer indices: all deltas zero.
         hw.write_literal(7, self.quant_index)
@@ -885,21 +889,30 @@ class Vp8Encoder:
                         left_bpred[:] = bmode
                     hw.write_with_path(_UV_PATHS[int(chroma_mode[i])], T.KEYFRAME_UV_MODE_PROBS)
 
-        # Residual tokens (partition 1): native fast path, python fallback.
+        # Residual tokens: MB row r goes to partition r % n (the container's
+        # per-partition parallel-entropy hook; decoder side already handles 8).
         levels, meta = self._token_stream(arrays, ctx)
-        part_bytes = None
-        try:
-            from ..io import native
+        part_streams = []
+        for p in range(self.num_partitions):
+            psel = (meta[:, 3] % self.num_partitions) == p
+            plevels, pmeta = levels[psel], meta[psel]
+            pbytes = None
+            try:
+                from ..io import native
 
-            if native.available():
-                part_bytes = native.vp8_token_encode(levels, meta, self.probs)
-        except Exception:
-            part_bytes = None
-        if part_bytes is None:
-            part = BoolEncoder()
-            for lv, m in zip(levels, meta):
-                self._write_block(part, lv, int(m[0]), int(m[1]), int(m[2]), self.probs)
-            part_bytes = part.flush()
+                if native.available():
+                    pbytes = native.vp8_token_encode(plevels, pmeta, self.probs)
+            except Exception:
+                pbytes = None
+            if pbytes is None:
+                part = BoolEncoder()
+                for lv, m in zip(plevels, pmeta):
+                    self._write_block(part, lv, int(m[0]), int(m[1]), int(m[2]), self.probs)
+                pbytes = part.flush()
+            part_streams.append(pbytes)
+        part_bytes = b"".join(
+            len(pb).to_bytes(3, "little") for pb in part_streams[:-1]
+        ) + b"".join(part_streams)
 
         if header_bytes is None:
             header_bytes = header.flush()
