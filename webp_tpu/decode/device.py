@@ -89,11 +89,15 @@ def _device_decode_batch(
 
 def decode_vp8_batch_device(payloads):
     """Decode same-geometry VP8 chunks as one batched device call -> RGB [B,...]."""
-    decs = []
-    for p in payloads:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def parse_one(p):
         d = Vp8Decoder(bytes(p))
-        d.parse(allow_native=True)
-        decs.append(d)
+        d.parse(allow_native=True)  # C++ releases the GIL -> real parallelism
+        return d
+
+    with ThreadPoolExecutor(max_workers=min(8, len(payloads))) as pool:
+        decs = list(pool.map(parse_one, payloads))
     d0 = decs[0]
     stack = lambda f: jnp.asarray(np.stack([f(d) for d in decs]))
     params = [d.filter_params_arrays() for d in decs]

@@ -181,11 +181,41 @@ def _length_to_symbol(run: np.ndarray):
 
 # -- main entry --------------------------------------------------------------
 
+def _cache_hits(packed: np.ndarray, bits: int):
+    """Exact color-cache hit mask: pixel i hits iff the most recent earlier
+    pixel in its hash bucket holds the same value (every decoded pixel is
+    inserted, so the bucket's last writer before i decides)."""
+    h = ((0x1E35A7BD * packed.astype(np.uint64)) & 0xFFFFFFFF) >> (32 - bits)
+    h = h.astype(np.int64)
+    n = len(packed)
+    order = np.argsort(h, kind="stable")
+    sh = h[order]
+    sv = packed[order]
+    prev_same = np.zeros(n, bool)
+    prev_val = np.zeros(n, np.int64)
+    same_bucket = np.zeros(n, bool)
+    same_bucket[1:] = sh[1:] == sh[:-1]
+    prev_val[1:] = sv[:-1]
+    hits_sorted = same_bucket & (prev_val == sv)
+    hits = np.zeros(n, bool)
+    hits[order] = hits_sorted
+    return hits, h
+
+
+def _entropy_bits(freq: np.ndarray) -> float:
+    tot = freq.sum()
+    if tot == 0:
+        return 0.0
+    p = freq[freq > 0] / tot
+    return float(-(p * np.log2(p)).sum() * tot)
+
+
 def encode_lossless(
     rgba: np.ndarray,
     use_predictor: bool = True,
     implicit_dims: bool = False,
     alpha_used: bool = True,
+    cache_bits: int = 10,
 ) -> bytes:
     """Encode an [h, w, 4] RGBA array as a VP8L stream."""
     h, w = rgba.shape[:2]
@@ -225,8 +255,6 @@ def encode_lossless(
     px = px.astype(np.int64)
 
     bs.append_bits(0, 1)  # transforms done
-    bs.append_bits(0, 1)  # no color cache
-    bs.append_bits(0, 1)  # no meta-huffman
 
     # Run-length factor the pixel stream (runs of identical pixels, <=4096).
     packed = (px[:, 0] << 16) | (px[:, 1] << 8) | px[:, 2] | (px[:, 3] << 24)
@@ -243,12 +271,50 @@ def encode_lossless(
     b = px[:, 2]
     a = px[:, 3]
 
-    # Histogram for the green/length tree.
-    freq_g = np.zeros(280, np.int64)
-    np.add.at(freq_g, g[literals_idx], 1)
-    freq_r = np.bincount(r[literals_idx], minlength=256).astype(np.int64)
-    freq_b = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
-    freq_a = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
+    # Color cache: exact hit detection, kept only when the entropy estimate
+    # says it pays for itself (extra g-tree symbols vs dropped R/B/A codes).
+    use_cache = False
+    if cache_bits:
+        hits_all, hashes_all = _cache_hits(packed, cache_bits)
+        lit_hit = hits_all[literals_idx]
+        lit_hash = hashes_all[literals_idx]
+        fg_nc = np.bincount(g[literals_idx], minlength=256).astype(np.int64)
+        fr_nc = np.bincount(r[literals_idx], minlength=256).astype(np.int64)
+        fb_nc = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
+        fa_nc = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
+        no_cache_bits = sum(map(_entropy_bits, (fg_nc, fr_nc, fb_nc, fa_nc)))
+        miss = ~lit_hit
+        fg_c = np.zeros(280 + (1 << cache_bits), np.int64)
+        np.add.at(fg_c, g[literals_idx][miss], 1)
+        np.add.at(fg_c, 280 + lit_hash[lit_hit], 1)
+        fr_c = np.bincount(r[literals_idx][miss], minlength=256).astype(np.int64)
+        fb_c = np.bincount(b[literals_idx][miss], minlength=256).astype(np.int64)
+        fa_c = np.bincount(a[literals_idx][miss], minlength=256).astype(np.int64)
+        cache_bits_est = sum(map(_entropy_bits, (fg_c, fr_c, fb_c, fa_c)))
+        use_cache = cache_bits_est + (1 << cache_bits) * 0.5 < no_cache_bits
+
+    if use_cache:
+        bs.append_bits(1, 1)
+        bs.append_bits(cache_bits, 4)
+    else:
+        bs.append_bits(0, 1)  # no color cache
+    bs.append_bits(0, 1)  # no meta-huffman
+
+    # Histogram for the green/length(/cache) tree.
+    alpha_size = 280 + ((1 << cache_bits) if use_cache else 0)
+    freq_g = np.zeros(alpha_size if use_cache else 280, np.int64)
+    if use_cache:
+        miss = ~lit_hit
+        np.add.at(freq_g, g[literals_idx][miss], 1)
+        np.add.at(freq_g, 280 + lit_hash[lit_hit], 1)
+        freq_r = np.bincount(r[literals_idx][miss], minlength=256).astype(np.int64)
+        freq_b = np.bincount(b[literals_idx][miss], minlength=256).astype(np.int64)
+        freq_a = np.bincount(a[literals_idx][miss], minlength=256).astype(np.int64)
+    else:
+        np.add.at(freq_g, g[literals_idx], 1)
+        freq_r = np.bincount(r[literals_idx], minlength=256).astype(np.int64)
+        freq_b = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
+        freq_a = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
 
     # Run symbols: chunks of up to 4096.
     run_records = []  # (length,) per emitted run token
@@ -283,6 +349,15 @@ def encode_lossless(
         [len_g[g[literals_idx]], len_r[r[literals_idx]], len_b[b[literals_idx]], len_a[a[literals_idx]]],
         axis=1,
     )
+    if use_cache:
+        # Cache-hit literals collapse to one g-tree symbol (280 + hash).
+        cache_sym = 280 + lit_hash
+        lit_codes = np.where(lit_hit[:, None],
+                             np.stack([code_g[cache_sym]] + [np.zeros_like(cache_sym)] * 3, axis=1),
+                             lit_codes)
+        lit_bits = np.where(lit_hit[:, None],
+                            np.stack([len_g[cache_sym]] + [np.zeros_like(cache_sym)] * 3, axis=1),
+                            lit_bits)
 
     # Interleave literal tokens with their run tokens, preserving order. The
     # common case (no run after a literal) is handled with bulk spans.
