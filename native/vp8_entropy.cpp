@@ -458,6 +458,10 @@ int vp8_entropy_decode(const uint8_t* data, int len, const uint8_t* default_prob
 
     delete[] top_bpred;
     delete[] top_c;
+    // Partition 0 carries the mode/segment/skip data; if it overran, the
+    // modes above were parsed from zero padding — report instead of
+    // returning garbage (the coefficient partitions check via read_coeffs).
+    if (b.is_eof()) error = 1;
     if (error) return -8;
 
     header_out[0] = w;

@@ -511,6 +511,7 @@ int vp8l_get_dims(const uint8_t* data, int len, int32_t* out_w, int32_t* out_h) 
     if (br.read(8) != 0x2f) return -1;
     *out_w = (int32_t)br.read(14) + 1;
     *out_h = (int32_t)br.read(14) + 1;
+    if (br.error) return -1;  // header shorter than 5 bytes: dims read from padding
     return 0;
 }
 

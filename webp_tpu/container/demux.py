@@ -376,6 +376,8 @@ class WebPDecoder:
             from ..decode.vp8 import decode_vp8_frame
 
             vframe = decode_vp8_frame(bytes(cur.read_bytes(next_size)))
+            if vframe.width != frame_w or vframe.height != frame_h:
+                raise InconsistentImageSizes("ANMF frame size != VP8 size")
             frame_px = vframe.to_rgba(self.upsampling)
             frame_px[:, :, 3] = decode_alpha_plane(alpha_slice, frame_w, frame_h)
             frame_has_alpha = True

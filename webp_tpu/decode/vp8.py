@@ -327,6 +327,11 @@ class Vp8Decoder:
                     left_complexity[1:] = 0
                     top_complexity[mbx, 1:] = 0
 
+        if b.is_eof():
+            # Mode data overran partition 0 — parsed zero padding (mirror of
+            # the native decoder's post-loop check).
+            raise BitstreamError("EOF in macroblock header data")
+
     def _read_mb_residuals(self, i, mbx, part, top_c, left_c):
         seg = self.segments[self.segment_ids[i]]
         coeffs = self.coeffs[i]

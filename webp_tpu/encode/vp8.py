@@ -917,6 +917,13 @@ class Vp8Encoder:
         if header_bytes is None:
             header_bytes = header.flush()
 
+        if len(header_bytes) >= (1 << 19):
+            # The frame tag's first-partition-size field is 19 bits; libwebp
+            # raises PARTITION0_OVERFLOW here (mirrors encoder/vp8.rs limits).
+            from ..errors import EncodingError
+
+            raise EncodingError("partition 0 overflow (header > 512 KiB)")
+
         out = bytearray()
         tag = (len(header_bytes) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
         out += bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])

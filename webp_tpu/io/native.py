@@ -8,7 +8,9 @@ in Python. Falls back gracefully (callers check `available()`).
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -23,15 +25,30 @@ _LIB_PATH = _ROOT / "native" / "libwebp_tpu_native.so"
 _lib = None
 
 
+_load_lock = threading.Lock()
+
+
 def _build():
+    # Build to a temp file + atomic rename so concurrent first-use from other
+    # processes never loads a half-written .so.
+    tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SRC), str(_SRC2)],
+        ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(_SRC), str(_SRC2)],
         check=True,
         capture_output=True,
     )
+    os.replace(tmp, _LIB_PATH)
 
 
 def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
     global _lib
     if _lib is not None:
         return _lib
