@@ -19,34 +19,52 @@ namespace {
 
 // ---------------------------------------------------------------- decoder
 
+// 56-bit buffered boolean decoder (model: the reference's wide bit reader,
+// /root/reference/src/decoder/bit_reader.rs:16-146).  Layout: the 16-bit
+// arithmetic value lives in bits [48..63] of `value`; up to 48 future
+// bitstream bits are staged below it, so renormalization is one shift +
+// count-leading-zeros instead of a byte-at-a-time loop.  Bit-exact with the
+// Python reference decoder (webp_tpu/io/booldec.py), including the
+// one-byte-past-end EOF tolerance.
 struct BoolDec {
     const uint8_t* data;
     int len;
-    int pos;
-    uint32_t value;
+    int pos;         // next byte to prefetch
+    uint64_t value;
     uint32_t range;
-    int bit_count;
-    int overrun;
+    int navail;      // valid future bits below bit 48
+    long shifts;     // total renormalization shifts (EOF accounting)
 
     void init(const uint8_t* d, int l) {
         data = d;
         len = l;
         pos = 0;
-        overrun = 0;
-        value = (next_byte() << 8) | next_byte();
+        shifts = 0;
+        value = 0;
+        for (int i = 0; i < 7; i++) {
+            uint64_t b = (pos < len) ? data[pos++] : 0;
+            value = (value << 8) | b;
+        }
+        navail = 48;  // b1..b6 staged below the 16-bit window at [48..63]
         range = 255;
-        bit_count = 0;
     }
-    uint32_t next_byte() {
-        if (pos < len) return data[pos++];
-        overrun++;
-        return 0;
-    }
-    bool is_eof() const { return overrun > 1; }
+    // Consumed bytes mirror the byte-at-a-time reader: 2 at init plus one per
+    // 8 renormalization shifts; one byte of zero padding past the end is
+    // tolerated (reference near-EOF behavior, decoder/arithmetic.rs:298-303).
+    bool is_eof() const { return 2 + (shifts >> 3) > (long)len + 1; }
 
-    int get_bit(int prob) {
+    inline void refill() {
+        while (navail <= 40) {
+            uint64_t b = (pos < len) ? data[pos++] : 0;
+            value |= b << (40 - navail);
+            navail += 8;
+        }
+    }
+
+    inline int get_bit(int prob) {
+        if (navail < 8) refill();
         uint32_t split = 1 + (((range - 1) * (uint32_t)prob) >> 8);
-        uint32_t big = split << 8;
+        uint64_t big = (uint64_t)split << 48;
         int bit;
         if (value >= big) {
             bit = 1;
@@ -56,13 +74,12 @@ struct BoolDec {
             bit = 0;
             range = split;
         }
-        while (range < 128) {
-            value = (value << 1) & 0xFFFFFF;
-            range <<= 1;
-            if (++bit_count == 8) {
-                bit_count = 0;
-                value |= next_byte();
-            }
+        if (range < 128) {
+            int sh = __builtin_clz(range) - 24;
+            range <<= sh;
+            value <<= sh;
+            navail -= sh;
+            shifts += sh;
         }
         return bit;
     }

@@ -1,0 +1,138 @@
+"""Lane-aligned wavefront v2 (recon + loop filter) equality tests.
+
+The v2 scan implementations and the Pallas kernels (interpret mode on CPU)
+must match the round-1 wavefront/jax_loopfilter outputs bit-exactly — which
+are themselves corpus-verified against the scalar reference decoder.
+"""
+
+import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webp_tpu.container import chunks as ck
+from webp_tpu.container.demux import WebPDecoder
+from webp_tpu.decode.vp8 import Vp8Decoder
+from webp_tpu.ops import jax_ops
+from webp_tpu.ops.jax_loopfilter import loop_filter_frame
+from webp_tpu.ops.loopfilter2 import loop_filter_frames_v2
+from webp_tpu.ops.wavefront import reconstruct_frame
+from webp_tpu.ops.wavefront2 import reconstruct_frames_v2
+
+LOSSY_FILES = sorted(glob.glob("/root/reference/tests/images/gallery1/*.webp")) + [
+    "/root/reference/tests/images/regression/dark.webp",
+]
+
+
+def _parse(path):
+    data = open(path, "rb").read()
+    payload = WebPDecoder(data)._chunk_bytes(ck.VP8)
+    d = Vp8Decoder(bytes(payload))
+    d.parse(allow_native=True)
+    return d
+
+
+def _residuals(d):
+    coeffs = jnp.asarray(d.coeffs)
+    full = jax_ops.idct4x4(coeffs)
+    dc = (coeffs[..., 0:1] + 4) >> 3
+    return jnp.where(
+        jnp.asarray(d.has_ac)[..., None], full, jnp.broadcast_to(dc, full.shape)
+    )
+
+
+def _filter_args(d):
+    level, interior, hev = d.filter_params_arrays()
+    ds = (d.luma_mode == 4) | (~d.skipped & d.non_zero_dct)
+    return level, interior, hev, ds
+
+
+@pytest.mark.parametrize("path", LOSSY_FILES, ids=lambda p: p.split("/")[-1])
+def test_recon_and_filter_v2_match_v1(path):
+    d = _parse(path)
+    residuals = _residuals(d)
+    lm, bp, cm = (
+        jnp.asarray(d.luma_mode), jnp.asarray(d.bpred), jnp.asarray(d.chroma_mode)
+    )
+    y0, u0, v0 = reconstruct_frame(residuals, lm, bp, cm, d.mbw, d.mbh)
+    y2, u2, v2 = reconstruct_frames_v2(
+        residuals[None], lm[None], bp[None], cm[None], d.mbw, d.mbh
+    )
+    assert np.array_equal(np.asarray(y0), np.asarray(y2[0]))
+    assert np.array_equal(np.asarray(u0), np.asarray(u2[0]))
+    assert np.array_equal(np.asarray(v0), np.asarray(v2[0]))
+
+    level, interior, hev, ds = _filter_args(d)
+    simple = bool(d.filter_type)
+    f0 = loop_filter_frame(
+        y0, u0, v0, jnp.asarray(level), jnp.asarray(interior), jnp.asarray(hev),
+        jnp.asarray(ds), d.mbw, d.mbh, simple,
+    )
+    f2 = loop_filter_frames_v2(
+        y0[None], u0[None], v0[None], jnp.asarray(level)[None],
+        jnp.asarray(interior)[None], jnp.asarray(hev)[None], jnp.asarray(ds)[None],
+        d.mbw, d.mbh, simple,
+    )
+    for a, b in zip(f0, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b[0]))
+
+
+def test_normal_filter_v2_matches_v1():
+    """Our encoder emits the normal (non-simple) filter — cover that path."""
+    from PIL import Image
+
+    from webp_tpu.encode.vp8 import Vp8Encoder
+
+    img = np.asarray(Image.open("/root/reference/tests/reference/gallery1/1.png"))[
+        :128, :192, :3
+    ]
+    vp8 = Vp8Encoder(40, 0).encode(img)
+    d = Vp8Decoder(vp8)
+    d.parse(allow_native=True)
+    assert d.filter_type == 0  # normal
+    residuals = _residuals(d)
+    lm, bp, cm = (
+        jnp.asarray(d.luma_mode), jnp.asarray(d.bpred), jnp.asarray(d.chroma_mode)
+    )
+    y0, u0, v0 = reconstruct_frame(residuals, lm, bp, cm, d.mbw, d.mbh)
+    level, interior, hev, ds = _filter_args(d)
+    f0 = loop_filter_frame(
+        y0, u0, v0, jnp.asarray(level), jnp.asarray(interior), jnp.asarray(hev),
+        jnp.asarray(ds), d.mbw, d.mbh, False,
+    )
+    f2 = loop_filter_frames_v2(
+        y0[None], u0[None], v0[None], jnp.asarray(level)[None],
+        jnp.asarray(interior)[None], jnp.asarray(hev)[None], jnp.asarray(ds)[None],
+        d.mbw, d.mbh, False,
+    )
+    for a, b in zip(f0, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b[0]))
+
+
+def test_pallas_decode_interpret_matches_scan():
+    """Pallas kernels (interpret mode) == scan drivers on one real image."""
+    from webp_tpu.ops.pallas.decode_wavefront import decode_planes_pallas
+
+    d = _parse("/root/reference/tests/images/gallery1/2.webp")
+    residuals = _residuals(d)
+    lm, bp, cm = (
+        jnp.asarray(d.luma_mode), jnp.asarray(d.bpred), jnp.asarray(d.chroma_mode)
+    )
+    level, interior, hev, ds = _filter_args(d)
+    simple = bool(d.filter_type)
+
+    y0, u0, v0 = reconstruct_frame(residuals, lm, bp, cm, d.mbw, d.mbh)
+    f0 = loop_filter_frame(
+        y0, u0, v0, jnp.asarray(level), jnp.asarray(interior), jnp.asarray(hev),
+        jnp.asarray(ds), d.mbw, d.mbh, simple,
+    )
+    py, pu, pv = decode_planes_pallas(
+        residuals[None], lm[None], bp[None], cm[None],
+        jnp.asarray(level)[None], jnp.asarray(interior)[None],
+        jnp.asarray(hev)[None], jnp.asarray(ds)[None],
+        d.mbw, d.mbh, simple, interpret=True,
+    )
+    for a, b in zip(f0, (py, pu, pv)):
+        assert np.array_equal(np.asarray(a), np.asarray(b[0]))

@@ -10,6 +10,7 @@ YUV->RGB matrix — runs under jit. Bit-exact with the scalar path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +20,44 @@ from ..decode.vp8 import Vp8Decoder, VP8Frame
 from ..ops import jax_ops
 from ..ops.jax_loopfilter import loop_filter_frame
 from ..ops.wavefront import reconstruct_frame
+
+# v2 lane-aligned wavefront backends. "pallas" (default on TPU) runs the
+# whole recon+filter wavefront as two Pallas kernels with VMEM-resident
+# state; "scan" uses the lax.scan drivers (used on CPU, where Pallas would
+# need interpret mode).  WEBP_TPU_DECODE_BACKEND overrides: pallas|scan|v1.
+from ..ops.loopfilter2 import loop_filter_frames_v2
+from ..ops.wavefront2 import reconstruct_frames_v2
+
+
+def _decode_backend() -> str:
+    env = os.environ.get("WEBP_TPU_DECODE_BACKEND")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
+def _device_decode_batch_v2(
+    coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev_t, do_sub,
+    mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+):
+    full = jax_ops.idct4x4(coeffs)
+    dc = (coeffs[..., 0:1] + 4) >> 3
+    residuals = jnp.where(has_ac[..., None], full, jnp.broadcast_to(dc, full.shape))
+    if backend == "pallas":
+        from ..ops.pallas.decode_wavefront import decode_planes_pallas
+
+        y, u, v = decode_planes_pallas(
+            residuals, luma_mode, bpred, chroma_mode,
+            level, interior, hev_t, do_sub, mbw, mbh, simple,
+        )
+    else:
+        y, u, v = reconstruct_frames_v2(residuals, luma_mode, bpred, chroma_mode, mbw, mbh)
+        y, u, v = loop_filter_frames_v2(
+            y, u, v, level, interior, hev_t, do_sub, mbw, mbh, simple
+        )
+    rgb = jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)
+    return y, u, v, rgb
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height"))
@@ -55,7 +94,8 @@ def decode_vp8_frame_device(data: bytes):
     level, interior, hev = dec.filter_params_arrays()
     do_sub = (dec.luma_mode == 4) | (~dec.skipped & dec.non_zero_dct)
 
-    y, u, v, rgb = _device_decode(
+    backend = _decode_backend()
+    args = (
         jnp.asarray(dec.coeffs),
         jnp.asarray(dec.has_ac),
         jnp.asarray(dec.luma_mode),
@@ -65,12 +105,18 @@ def decode_vp8_frame_device(data: bytes):
         jnp.asarray(interior),
         jnp.asarray(hev),
         jnp.asarray(do_sub),
-        dec.mbw,
-        dec.mbh,
-        bool(dec.filter_type),
-        dec.width,
-        dec.height,
     )
+    if backend == "v1":
+        y, u, v, rgb = _device_decode(
+            *args, dec.mbw, dec.mbh, bool(dec.filter_type), dec.width, dec.height
+        )
+    else:
+        y, u, v, rgb = _device_decode_batch_v2(
+            *[a[None] for a in args],
+            dec.mbw, dec.mbh, bool(dec.filter_type), dec.width, dec.height,
+            backend,
+        )
+        y, u, v, rgb = y[0], u[0], v[0], rgb[0]
     frame = VP8Frame(dec.width, dec.height, np.asarray(y), np.asarray(u), np.asarray(v))
     return frame, np.asarray(rgb)
 
@@ -104,7 +150,8 @@ def decode_vp8_batch_device(payloads):
     do_sub = [
         (d.luma_mode == 4) | (~d.skipped & d.non_zero_dct) for d in decs
     ]
-    rgb = _device_decode_batch(
+    backend = _decode_backend()
+    args = (
         stack(lambda d: d.coeffs),
         stack(lambda d: d.has_ac),
         stack(lambda d: d.luma_mode),
@@ -114,6 +161,14 @@ def decode_vp8_batch_device(payloads):
         jnp.asarray(np.stack([p[1] for p in params])),
         jnp.asarray(np.stack([p[2] for p in params])),
         jnp.asarray(np.stack(do_sub)),
-        d0.mbw, d0.mbh, bool(d0.filter_type), d0.width, d0.height,
     )
+    if backend == "v1":
+        rgb = _device_decode_batch(
+            *args, d0.mbw, d0.mbh, bool(d0.filter_type), d0.width, d0.height
+        )
+    else:
+        rgb = _device_decode_batch_v2(
+            *args, d0.mbw, d0.mbh, bool(d0.filter_type), d0.width, d0.height,
+            backend,
+        )[3]
     return np.asarray(rgb)

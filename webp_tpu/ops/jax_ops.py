@@ -150,20 +150,40 @@ def fancy_upsample(c: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Bilinear 9:3:3:1 chroma upsampling with mirrored edges.
 
     c: [..., ch, cw] uint8 -> [..., height, width] uint8.
+
+    Gather-free formulation: the "far" chroma sample of an output pixel is
+    the previous chroma column/row for even outputs and the next one for odd
+    outputs (mirrored at edges), so four shifted copies + 2x2 repeats + a
+    parity select cover all cases — pure pads/slices/repeats, no gathers
+    (TPU gathers dominated this stage's cost otherwise).
     """
-    ch, cw = c.shape[-2:]
-    r = jnp.arange(height)
-    x = jnp.arange(width)
-    mr = r // 2
-    fr = jnp.clip(jnp.where(r % 2 == 1, r // 2 + 1, r // 2 - 1), 0, ch - 1)
-    mc = x // 2
-    fc = jnp.clip(jnp.where(x % 2 == 1, x // 2 + 1, x // 2 - 1), 0, cw - 1)
     ci = c.astype(jnp.int32)
-    main = ci[..., mr, :][..., :, mc]
-    sec_col = ci[..., mr, :][..., :, fc]
-    sec_row = ci[..., fr, :][..., :, mc]
-    tert = ci[..., fr, :][..., :, fc]
-    return ((9 * main + 3 * sec_col + 3 * sec_row + tert + 8) >> 4).astype(jnp.uint8)
+
+    def shl(a, ax):  # a[j] = in[max(j-1, 0)]
+        lead = a[(Ellipsis,) + ((slice(0, 1),) if ax == -1 else (slice(0, 1), slice(None)))]
+        body = a[(Ellipsis,) + ((slice(0, -1),) if ax == -1 else (slice(0, -1), slice(None)))]
+        return jnp.concatenate([lead, body], axis=ax)
+
+    def shr(a, ax):  # a[j] = in[min(j+1, n-1)]
+        tail = a[(Ellipsis,) + ((slice(-1, None),) if ax == -1 else (slice(-1, None), slice(None)))]
+        body = a[(Ellipsis,) + ((slice(1, None),) if ax == -1 else (slice(1, None), slice(None)))]
+        return jnp.concatenate([body, tail], axis=ax)
+
+    def up2(a):
+        return jnp.repeat(jnp.repeat(a, 2, axis=-2), 2, axis=-1)
+
+    col_odd = (jnp.arange(2 * c.shape[-1]) & 1) == 1
+    row_odd = ((jnp.arange(2 * c.shape[-2]) & 1) == 1)[:, None]
+
+    def pick_col(a):  # far-column variant of a
+        return jnp.where(col_odd, up2(shr(a, -1)), up2(shl(a, -1)))
+
+    main = up2(ci)
+    sec_col = pick_col(ci)
+    sec_row = jnp.where(row_odd, up2(shr(ci, -2)), up2(shl(ci, -2)))
+    tert = jnp.where(row_odd, pick_col(shr(ci, -2)), pick_col(shl(ci, -2)))
+    out = (9 * main + 3 * sec_col + 3 * sec_row + tert + 8) >> 4
+    return out[..., :height, :width].astype(jnp.uint8)
 
 
 def fancy_yuv420_to_rgb(ybuf, ubuf, vbuf, width: int, height: int):
