@@ -131,8 +131,13 @@ struct Segment {
 
 // Read coefficients for one block; returns has-AC flag (n > first).
 // probs layout: [8 bands][3 ctx][11]
+// Templated on the output type: the classic path writes dequantized int32;
+// the levels path (vp8_entropy_decode16) writes raw int16 levels (dcq=acq=1)
+// and lets the device dequantize (halves host memory traffic — the levels
+// design; reference dequant-on-read is /root/reference/src/decoder/vp8.rs:949-951).
+template <typename T>
 static int read_coeffs(BoolDec& bd, const uint8_t* plane_probs, int ctx, int dcq, int acq,
-                       int first, int32_t* block, int* error) {
+                       int first, T* block, int* error) {
     int n = first;
     const uint8_t* p = plane_probs + (COEFF_BANDS[n] * 3 + ctx) * 11;
     while (n < 16) {
@@ -176,7 +181,7 @@ static int read_coeffs(BoolDec& bd, const uint8_t* plane_probs, int ctx, int dcq
         }
         if (bd.get_bit(128)) v = -v;
         int zz = ZIGZAG[n];
-        block[zz] = v * (zz > 0 ? acq : dcq);
+        block[zz] = (T)(v * (zz > 0 ? acq : dcq));
         n += 1;
         if (n < 16) p = plane_probs + (COEFF_BANDS[n] * 3 + next_ctx) * 11;
     }
@@ -205,6 +210,161 @@ static void iwht4x4(int32_t* b) {
         r[1] = (int32_t)((c1 + d1 + 3) >> 3);
         r[2] = (int32_t)((a1 - b1 + 3) >> 3);
         r[3] = (int32_t)((d1 - c1 + 3) >> 3);
+    }
+}
+
+// Parsed frame-header state shared by both entropy-pass entry points.
+struct FrameHeader {
+    int w, h, mbw, mbh;
+    int filter_type, filter_level, sharpness, lf_adjust;
+    int ref_delta0, mode_delta0;
+    bool segments_enabled, segments_update_map;
+    uint8_t seg_tree_probs[3];
+    Segment segs[4];
+    int num_partitions;
+    int prob_skip_false;
+    uint8_t probs[4 * 8 * 3 * 11];
+    BoolDec b;        // partition 0 (modes)
+    BoolDec parts[8]; // coefficient partitions
+};
+
+// Parse the uncompressed + compressed VP8 frame headers (RFC 6386 §9;
+// reference /root/reference/src/decoder/vp8.rs:553-679). Returns 0 on success.
+static int parse_frame_header(const uint8_t* data, int len, const uint8_t* default_probs,
+                              const uint8_t* update_probs, const int16_t* dc_qtable,
+                              const int16_t* ac_qtable, FrameHeader& H) {
+    if (len < 10) return -1;
+    uint32_t tag = data[0] | (data[1] << 8) | (data[2] << 16);
+    if (tag & 1) return -2;
+    if (!(data[3] == 0x9d && data[4] == 0x01 && data[5] == 0x2a)) return -3;
+    H.w = (data[6] | (data[7] << 8)) & 0x3FFF;
+    H.h = (data[8] | (data[9] << 8)) & 0x3FFF;
+    int first_part_size = tag >> 5;
+    if (10 + first_part_size > len) return -4;
+    H.mbw = (H.w + 15) / 16;
+    H.mbh = (H.h + 15) / 16;
+
+    BoolDec& b = H.b;
+    b.init(data + 10, first_part_size);
+    if (b.get_literal(1) != 0) return -5;  // color space
+    b.get_literal(1);                      // pixel type
+
+    H.segments_enabled = b.get_flag();
+    H.segments_update_map = false;
+    H.seg_tree_probs[0] = H.seg_tree_probs[1] = H.seg_tree_probs[2] = 255;
+    if (H.segments_enabled) {
+        H.segments_update_map = b.get_flag();
+        if (b.get_flag()) {
+            bool absolute = b.get_flag();
+            for (int i = 0; i < 4; i++) H.segs[i].delta_values = !absolute;
+            for (int i = 0; i < 4; i++) H.segs[i].quantizer_level = b.get_signed(7);
+            for (int i = 0; i < 4; i++) H.segs[i].loopfilter_level = b.get_signed(6);
+        }
+        if (H.segments_update_map) {
+            for (int i = 0; i < 3; i++)
+                H.seg_tree_probs[i] = b.get_flag() ? b.get_literal(8) : 255;
+        }
+    }
+
+    H.filter_type = b.get_flag();
+    H.filter_level = b.get_literal(6);
+    H.sharpness = b.get_literal(3);
+    H.lf_adjust = b.get_flag();
+    H.ref_delta0 = 0;
+    H.mode_delta0 = 0;
+    if (H.lf_adjust) {
+        if (b.get_flag()) {
+            int rd[4], md[4];
+            for (int i = 0; i < 4; i++) rd[i] = b.get_signed(6);
+            for (int i = 0; i < 4; i++) md[i] = b.get_signed(6);
+            H.ref_delta0 = rd[0];
+            H.mode_delta0 = md[0];
+        }
+    }
+
+    H.num_partitions = 1 << b.get_literal(2);
+    const uint8_t* part_base = data + 10 + first_part_size;
+    int remaining = len - 10 - first_part_size;
+    {
+        int sizes[8];
+        int total_table = 3 * (H.num_partitions - 1);
+        if (total_table > remaining) return -6;
+        const uint8_t* ptr = part_base;
+        for (int i = 0; i < H.num_partitions - 1; i++) {
+            sizes[i] = ptr[0] | (ptr[1] << 8) | (ptr[2] << 16);
+            ptr += 3;
+        }
+        remaining -= total_table;
+        for (int i = 0; i < H.num_partitions - 1; i++) {
+            if (sizes[i] > remaining) return -7;
+            H.parts[i].init(ptr, sizes[i]);
+            ptr += sizes[i];
+            remaining -= sizes[i];
+        }
+        H.parts[H.num_partitions - 1].init(ptr, remaining);
+    }
+
+    // Quantizer indices (per-segment derivation: vp8.rs:452-504).
+    int yac_abs = b.get_literal(7);
+    int ydc_d = b.get_signed(4);
+    int y2dc_d = b.get_signed(4);
+    int y2ac_d = b.get_signed(4);
+    int uvdc_d = b.get_signed(4);
+    int uvac_d = b.get_signed(4);
+    auto clampq = [](int i) { return i < 0 ? 0 : (i > 127 ? 127 : i); };
+    int nseg = H.segments_enabled ? 4 : 1;
+    for (int i = 0; i < nseg; i++) {
+        Segment& sg = H.segs[i];
+        int base = H.segments_enabled
+                       ? (sg.delta_values ? sg.quantizer_level + yac_abs
+                                          : sg.quantizer_level)
+                       : yac_abs;
+        sg.ydc = dc_qtable[clampq(base + ydc_d)];
+        sg.yac = ac_qtable[clampq(base)];
+        sg.y2dc = dc_qtable[clampq(base + y2dc_d)] * 2;
+        int y2ac = ac_qtable[clampq(base + y2ac_d)] * 155 / 100;
+        sg.y2ac = y2ac < 8 ? 8 : y2ac;
+        int uvdc = dc_qtable[clampq(base + uvdc_d)];
+        sg.uvdc = uvdc > 132 ? 132 : uvdc;
+        sg.uvac = ac_qtable[clampq(base + uvac_d)];
+    }
+
+    b.get_literal(1);  // refresh entropy probs
+
+    memcpy(H.probs, default_probs, sizeof(H.probs));
+    for (int i = 0; i < 4 * 8 * 3 * 11; i++) {
+        if (b.get_bit(update_probs[i])) H.probs[i] = b.get_literal(8);
+    }
+
+    H.prob_skip_false = -1;
+    if (b.get_literal(1) == 1) H.prob_skip_false = b.get_literal(8);
+    return 0;
+}
+
+static void write_header_out(const FrameHeader& H, int32_t* header_out, int32_t* seg_out) {
+    header_out[0] = H.w;
+    header_out[1] = H.h;
+    header_out[2] = H.mbw;
+    header_out[3] = H.mbh;
+    header_out[4] = H.filter_type;
+    header_out[5] = H.filter_level;
+    header_out[6] = H.sharpness;
+    header_out[7] = H.lf_adjust;
+    header_out[8] = H.ref_delta0;
+    header_out[9] = H.mode_delta0;
+    header_out[10] = H.segments_enabled;
+    header_out[11] = H.segments_update_map;
+    header_out[12] = (H.segs[0].delta_values ? 1 : 0) | (H.segs[1].delta_values ? 2 : 0) |
+                     (H.segs[2].delta_values ? 4 : 0) | (H.segs[3].delta_values ? 8 : 0);
+    for (int i = 0; i < 4; i++) {
+        seg_out[i * 8 + 0] = H.segs[i].quantizer_level;
+        seg_out[i * 8 + 1] = H.segs[i].loopfilter_level;
+        seg_out[i * 8 + 2] = H.segs[i].ydc;
+        seg_out[i * 8 + 3] = H.segs[i].yac;
+        seg_out[i * 8 + 4] = H.segs[i].y2dc;
+        seg_out[i * 8 + 5] = H.segs[i].y2ac;
+        seg_out[i * 8 + 6] = H.segs[i].uvdc;
+        seg_out[i * 8 + 7] = H.segs[i].uvac;
     }
 }
 
@@ -241,115 +401,21 @@ int vp8_entropy_decode(const uint8_t* data, int len, const uint8_t* default_prob
                        int32_t* header_out, int32_t* seg_out, int32_t* luma_mode,
                        int32_t* chroma_mode, int32_t* segment_ids, int32_t* bpred,
                        uint8_t* skipped, uint8_t* non_zero, uint8_t* has_ac, int32_t* coeffs) {
-    int32_t w, h;
-    int rc = vp8_parse_dims(data, len, &w, &h);
+    FrameHeader H;
+    int rc = parse_frame_header(data, len, default_probs, update_probs,
+                                dc_qtable, ac_qtable, H);
     if (rc) return rc;
-    uint32_t tag = data[0] | (data[1] << 8) | (data[2] << 16);
-    int first_part_size = tag >> 5;
-    if (10 + first_part_size > len) return -4;
-
-    int mbw = (w + 15) / 16;
-    int mbh = (h + 15) / 16;
+    int mbw = H.mbw, mbh = H.mbh;
     int nmb = mbw * mbh;
-
-    BoolDec b;
-    b.init(data + 10, first_part_size);
-
-    if (b.get_literal(1) != 0) return -5;  // color space
-    b.get_literal(1);                       // pixel type
-
-    Segment segs[4];
-    bool segments_enabled = b.get_flag();
-    bool segments_update_map = false;
-    uint8_t seg_tree_probs[3] = {255, 255, 255};
-    if (segments_enabled) {
-        segments_update_map = b.get_flag();
-        if (b.get_flag()) {
-            bool absolute = b.get_flag();
-            for (int i = 0; i < 4; i++) segs[i].delta_values = !absolute;
-            for (int i = 0; i < 4; i++) segs[i].quantizer_level = b.get_signed(7);
-            for (int i = 0; i < 4; i++) segs[i].loopfilter_level = b.get_signed(6);
-        }
-        if (segments_update_map) {
-            for (int i = 0; i < 3; i++)
-                seg_tree_probs[i] = b.get_flag() ? b.get_literal(8) : 255;
-        }
-    }
-
-    int filter_type = b.get_flag();
-    int filter_level = b.get_literal(6);
-    int sharpness = b.get_literal(3);
-    int lf_adjust = b.get_flag();
-    int ref_delta0 = 0, mode_delta0 = 0;
-    if (lf_adjust) {
-        if (b.get_flag()) {
-            int rd[4], md[4];
-            for (int i = 0; i < 4; i++) rd[i] = b.get_signed(6);
-            for (int i = 0; i < 4; i++) md[i] = b.get_signed(6);
-            ref_delta0 = rd[0];
-            mode_delta0 = md[0];
-        }
-    }
-
-    int num_partitions = 1 << b.get_literal(2);
-    // Partition boundaries.
-    const uint8_t* part_base = data + 10 + first_part_size;
-    int remaining = len - 10 - first_part_size;
-    BoolDec parts[8];
-    {
-        int sizes[8];
-        int total_table = 3 * (num_partitions - 1);
-        if (total_table > remaining) return -6;
-        const uint8_t* ptr = part_base;
-        for (int i = 0; i < num_partitions - 1; i++) {
-            sizes[i] = ptr[0] | (ptr[1] << 8) | (ptr[2] << 16);
-            ptr += 3;
-        }
-        remaining -= total_table;
-        for (int i = 0; i < num_partitions - 1; i++) {
-            if (sizes[i] > remaining) return -7;
-            parts[i].init(ptr, sizes[i]);
-            ptr += sizes[i];
-            remaining -= sizes[i];
-        }
-        parts[num_partitions - 1].init(ptr, remaining);
-    }
-
-    // Quantizer indices.
-    int yac_abs = b.get_literal(7);
-    int ydc_d = b.get_signed(4);
-    int y2dc_d = b.get_signed(4);
-    int y2ac_d = b.get_signed(4);
-    int uvdc_d = b.get_signed(4);
-    int uvac_d = b.get_signed(4);
-    auto clampq = [](int i) { return i < 0 ? 0 : (i > 127 ? 127 : i); };
-    int nseg = segments_enabled ? 4 : 1;
-    for (int i = 0; i < nseg; i++) {
-        int base = segments_enabled
-                       ? (segs[i].delta_values ? segs[i].quantizer_level + yac_abs
-                                               : segs[i].quantizer_level)
-                       : yac_abs;
-        segs[i].ydc = dc_qtable[clampq(base + ydc_d)];
-        segs[i].yac = ac_qtable[clampq(base)];
-        segs[i].y2dc = dc_qtable[clampq(base + y2dc_d)] * 2;
-        int y2ac = ac_qtable[clampq(base + y2ac_d)] * 155 / 100;
-        segs[i].y2ac = y2ac < 8 ? 8 : y2ac;
-        int uvdc = dc_qtable[clampq(base + uvdc_d)];
-        segs[i].uvdc = uvdc > 132 ? 132 : uvdc;
-        segs[i].uvac = ac_qtable[clampq(base + uvac_d)];
-    }
-
-    b.get_literal(1);  // refresh entropy probs
-
-    // Token probability updates.
-    uint8_t probs[4 * 8 * 3 * 11];
-    memcpy(probs, default_probs, sizeof(probs));
-    for (int i = 0; i < 4 * 8 * 3 * 11; i++) {
-        if (b.get_bit(update_probs[i])) probs[i] = b.get_literal(8);
-    }
-
-    int prob_skip_false = -1;
-    if (b.get_literal(1) == 1) prob_skip_false = b.get_literal(8);
+    BoolDec& b = H.b;
+    BoolDec* parts = H.parts;
+    const uint8_t* probs = H.probs;
+    const Segment* segs = H.segs;
+    bool segments_enabled = H.segments_enabled;
+    bool segments_update_map = H.segments_update_map;
+    const uint8_t* seg_tree_probs = H.seg_tree_probs;
+    int num_partitions = H.num_partitions;
+    int prob_skip_false = H.prob_skip_false;
 
     // Per-MB entropy loop.
     int32_t* top_bpred = new int32_t[mbw * 4];
@@ -481,31 +547,149 @@ int vp8_entropy_decode(const uint8_t* data, int len, const uint8_t* default_prob
     if (b.is_eof()) error = 1;
     if (error) return -8;
 
-    header_out[0] = w;
-    header_out[1] = h;
-    header_out[2] = mbw;
-    header_out[3] = mbh;
-    header_out[4] = filter_type;
-    header_out[5] = filter_level;
-    header_out[6] = sharpness;
-    header_out[7] = lf_adjust;
-    header_out[8] = ref_delta0;
-    header_out[9] = mode_delta0;
-    header_out[10] = segments_enabled;
-    header_out[11] = segments_update_map;
-    for (int i = 0; i < 4; i++) {
-        seg_out[i * 8 + 0] = segs[i].quantizer_level;
-        seg_out[i * 8 + 1] = segs[i].loopfilter_level;
-        seg_out[i * 8 + 2] = segs[i].ydc;
-        seg_out[i * 8 + 3] = segs[i].yac;
-        seg_out[i * 8 + 4] = segs[i].y2dc;
-        seg_out[i * 8 + 5] = segs[i].y2ac;
-        seg_out[i * 8 + 6] = segs[i].uvdc;
-        seg_out[i * 8 + 7] = segs[i].uvac;
+    write_header_out(H, header_out, seg_out);
+    return 0;
+}
+
+// Levels-mode entropy decode: the batch/device fast path.
+//
+// Differences from vp8_entropy_decode:
+//   - levels[nmb*25*16] int16 holds RAW quantizer levels (no dequantization;
+//     block 24 is the un-transformed Y2 block). The device dequantizes,
+//     applies the inverse WHT to Y2 and folds its output into the 16 luma
+//     DCs, and derives has_ac / non_zero / do_sub itself — so the host
+//     writes only the (sparse) nonzero levels.
+//   - mode outputs are uint8 (luma_mode, chroma_mode, segment_ids,
+//     bpred[nmb*16], skipped).
+//   - all output buffers MUST be zero-initialized by the caller (numpy
+//     np.zeros batch slices); only nonzero values are written.
+// Returns 0 on success, negative error code otherwise.
+int vp8_entropy_decode16(const uint8_t* data, int len, const uint8_t* default_probs,
+                         const uint8_t* update_probs, const uint8_t* bpred_probs,
+                         const int16_t* dc_qtable, const int16_t* ac_qtable,
+                         int32_t* header_out, int32_t* seg_out, uint8_t* luma_mode,
+                         uint8_t* chroma_mode, uint8_t* segment_ids, uint8_t* bpred,
+                         uint8_t* skipped, uint8_t* non_zero, int16_t* levels) {
+    FrameHeader H;
+    int rc = parse_frame_header(data, len, default_probs, update_probs,
+                                dc_qtable, ac_qtable, H);
+    if (rc) return rc;
+    int mbw = H.mbw, mbh = H.mbh;
+    BoolDec& b = H.b;
+    int error = 0;
+
+    std::vector<uint8_t> top_bpred(mbw * 4, 0);
+    std::vector<uint8_t> top_c(mbw * 9, 0);
+
+    for (int mby = 0; mby < mbh && !error; mby++) {
+        BoolDec& part = H.parts[mby % H.num_partitions];
+        uint8_t left_bpred[4] = {0, 0, 0, 0};
+        uint8_t left_c[9] = {0};
+        for (int mbx = 0; mbx < mbw && !error; mbx++) {
+            int i = mby * mbw + mbx;
+            int seg_id = 0;
+            if (H.segments_enabled && H.segments_update_map)
+                seg_id = b.read_tree(SEGMENT_TREE, H.seg_tree_probs);
+            if (seg_id) segment_ids[i] = (uint8_t)seg_id;
+            int skip = 0;
+            if (H.prob_skip_false >= 0) skip = b.get_bit(H.prob_skip_false);
+            if (skip) skipped[i] = 1;
+
+            int luma = b.read_tree(YMODE_TREE, YMODE_PROBS);
+            if (luma) luma_mode[i] = (uint8_t)luma;
+            if (luma == 4) {
+                for (int sy = 0; sy < 4; sy++) {
+                    for (int sx = 0; sx < 4; sx++) {
+                        int above = top_bpred[mbx * 4 + sx];
+                        int left = left_bpred[sy];
+                        int m = b.read_tree(BPRED_TREE,
+                                            bpred_probs + (above * 10 + left) * 9);
+                        if (m) bpred[i * 16 + sy * 4 + sx] = (uint8_t)m;
+                        top_bpred[mbx * 4 + sx] = (uint8_t)m;
+                        left_bpred[sy] = (uint8_t)m;
+                    }
+                }
+            } else {
+                static const int LUMA_TO_B[4] = {0, 2, 3, 1};  // DC,VE,HE,TM
+                uint8_t bm = (uint8_t)LUMA_TO_B[luma];
+                if (bm)
+                    for (int k = 12; k < 16; k++) bpred[i * 16 + k] = bm;
+                for (int sy = 0; sy < 4; sy++) left_bpred[sy] = bm;
+                for (int sx = 0; sx < 4; sx++) top_bpred[mbx * 4 + sx] = bm;
+            }
+            int uv = b.read_tree(UV_TREE, UV_PROBS);
+            if (uv) chroma_mode[i] = (uint8_t)uv;
+
+            if (skip) {
+                if (luma != 4) {
+                    left_c[0] = 0;
+                    top_c[mbx * 9] = 0;
+                }
+                for (int k = 1; k < 9; k++) {
+                    left_c[k] = 0;
+                    top_c[mbx * 9 + k] = 0;
+                }
+                continue;
+            }
+
+            int16_t* mb_levels = levels + (size_t)i * 25 * 16;
+            int plane, first;
+            int nz = 0;
+            if (luma != 4) {
+                int ctx = top_c[mbx * 9] + left_c[0];
+                int n = read_coeffs(part, H.probs + 1 * 8 * 3 * 11, ctx, 1, 1, 0,
+                                    mb_levels + 24 * 16, &error);
+                left_c[0] = top_c[mbx * 9] = (uint8_t)n;
+                // Legacy non_zero counts the Y2-folded luma DCs: the inverse
+                // WHT is invertible, so "any folded DC nonzero" == "any Y2
+                // level nonzero" (zero-valued coded tokens don't count).
+                for (int k = 0; k < 16; k++)
+                    if (mb_levels[24 * 16 + k]) { nz = 1; break; }
+                plane = 0;
+                first = 1;
+            } else {
+                plane = 3;
+                first = 0;
+            }
+
+            for (int y = 0; y < 4; y++) {
+                int left = left_c[y + 1];
+                for (int x = 0; x < 4; x++) {
+                    int bi = y * 4 + x;
+                    int ctx = top_c[mbx * 9 + x + 1] + left;
+                    int n = read_coeffs(part, H.probs + plane * 8 * 3 * 11, ctx, 1, 1,
+                                        first, mb_levels + bi * 16, &error);
+                    if (n || mb_levels[bi * 16]) nz = 1;
+                    left = n;
+                    top_c[mbx * 9 + x + 1] = (uint8_t)n;
+                }
+                left_c[y + 1] = (uint8_t)left;
+            }
+            for (int half = 0; half < 2; half++) {
+                int j = half == 0 ? 5 : 7;
+                int base = half == 0 ? 16 : 20;
+                for (int y = 0; y < 2; y++) {
+                    int left = left_c[y + j];
+                    for (int x = 0; x < 2; x++) {
+                        int bi = base + y * 2 + x;
+                        int ctx = top_c[mbx * 9 + x + j] + left;
+                        int n = read_coeffs(part, H.probs + 2 * 8 * 3 * 11, ctx, 1, 1,
+                                            0, mb_levels + bi * 16, &error);
+                        if (n || mb_levels[bi * 16]) nz = 1;
+                        left = n;
+                        top_c[mbx * 9 + x + j] = (uint8_t)n;
+                    }
+                    left_c[y + j] = (uint8_t)left;
+                }
+            }
+            if (nz) non_zero[i] = 1;
+        }
     }
-    // delta_values flag per segment packed into header_out[12].
-    header_out[12] = (segs[0].delta_values ? 1 : 0) | (segs[1].delta_values ? 2 : 0) |
-                     (segs[2].delta_values ? 4 : 0) | (segs[3].delta_values ? 8 : 0);
+
+    if (b.is_eof()) error = 1;
+    if (error) return -8;
+
+    write_header_out(H, header_out, seg_out);
     return 0;
 }
 

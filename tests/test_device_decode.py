@@ -1,4 +1,10 @@
-"""Full device decode pipeline must be bit-exact vs the goldens."""
+"""Full device decode pipeline must be bit-exact vs the goldens.
+
+Covers both the per-frame device path and the batched levels fast path
+(C++ int16-levels entropy pass + device dequant/IWHT/IDCT/wavefront), over
+the full lossy corpus (VERDICT r1 items 1/8: the path the bench runs must be
+tested on the same parametrization as the scalar path).
+"""
 
 import numpy as np
 import pytest
@@ -7,20 +13,39 @@ pytest.importorskip("jax")
 
 from webp_tpu.container import chunks as ck
 from webp_tpu.container.demux import WebPDecoder
-from webp_tpu.decode.device import decode_vp8_frame_device
+from webp_tpu.decode.device import decode_vp8_frame_device, decode_vp8_batch_device
 
 from conftest import load_png
 
-
-@pytest.mark.parametrize("name,golden", [
+LOSSY = [
     ("gallery1/1.webp", "gallery1/1.png"),
+    ("gallery1/2.webp", "gallery1/2.png"),
+    ("gallery1/3.webp", "gallery1/3.png"),
+    ("gallery1/4.webp", "gallery1/4.png"),
+    ("gallery1/5.webp", "gallery1/5.png"),
     ("regression/dark.webp", "regression/dark.png"),
-])
+]
+
+
+def _want(goldens, golden):
+    want = load_png(goldens / golden)
+    if want.ndim == 3 and want.shape[2] == 4:
+        want = want[:, :, :3]
+    return want
+
+
+@pytest.mark.parametrize("name,golden", LOSSY)
 def test_device_decode_exact(fixtures, goldens, name, golden):
     data = (fixtures / name).read_bytes()
     d = WebPDecoder(data)
     frame, rgb = decode_vp8_frame_device(d._chunk_bytes(ck.VP8))
-    want = load_png(goldens / golden)
-    if want.ndim == 3 and want.shape[2] == 4:
-        want = want[:, :, :3]
-    np.testing.assert_array_equal(rgb, want)
+    np.testing.assert_array_equal(rgb, _want(goldens, golden))
+
+
+@pytest.mark.parametrize("name,golden", LOSSY)
+def test_batch_levels_decode_exact(fixtures, goldens, name, golden):
+    payload = WebPDecoder((fixtures / name).read_bytes())._chunk_bytes(ck.VP8)
+    rgb = decode_vp8_batch_device([payload, payload])
+    want = _want(goldens, golden)
+    np.testing.assert_array_equal(rgb[0], want)
+    np.testing.assert_array_equal(rgb[1], want)

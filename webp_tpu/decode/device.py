@@ -33,7 +33,11 @@ def _decode_backend() -> str:
     env = os.environ.get("WEBP_TPU_DECODE_BACKEND")
     if env:
         return env
-    return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+    # TODO(pallas): the Pallas wavefront kernels interpret-run bit-exact but
+    # several jnp patterns still hit Mosaic lowering gaps on real TPUs
+    # (trailing-unit reshapes, sublane concats of lane-offset slices); the
+    # scan drivers are the production default until the kernels lower.
+    return "scan"
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
@@ -133,42 +137,232 @@ def _device_decode_batch(
     )(coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev_t, do_sub)
 
 
-def decode_vp8_batch_device(payloads):
-    """Decode same-geometry VP8 chunks as one batched device call -> RGB [B,...]."""
-    from concurrent.futures import ThreadPoolExecutor
+def decode_vp8_batch_device(payloads, device_out: bool = False):
+    """Decode same-geometry VP8 chunks as one batched device call -> RGB [B,...].
 
-    def parse_one(p):
-        d = Vp8Decoder(bytes(p))
-        d.parse(allow_native=True)  # C++ releases the GIL -> real parallelism
-        return d
+    Fast path: the C++ levels-mode entropy pass writes int16 raw levels
+    directly into two preallocated packed batch buffers (no per-image
+    np.stack copies and only two host->device transfers — both host memory
+    bandwidth and transfer latency are scarce), and the device does
+    dequantization, the Y2 inverse WHT + DC fold, IDCT, wavefront
+    reconstruction, loop filtering and color conversion in one jit call.
 
-    with ThreadPoolExecutor(max_workers=min(8, len(payloads))) as pool:
-        decs = list(pool.map(parse_one, payloads))
-    d0 = decs[0]
-    stack = lambda f: jnp.asarray(np.stack([f(d) for d in decs]))
-    params = [d.filter_params_arrays() for d in decs]
-    do_sub = [
-        (d.luma_mode == 4) | (~d.skipped & d.non_zero_dct) for d in decs
-    ]
+    device_out=True returns the device-resident jax array (the TPU-native
+    consumption model: downstream stages read the pixels on-device).
+    """
+    from ..io import native
+
+    if not native.available():  # pragma: no cover - fallback host path
+        rgbs = [decode_vp8_frame_device(p)[1] for p in payloads]
+        return np.stack(rgbs)
+
+    batch = parse_levels_batch(payloads)
     backend = _decode_backend()
-    args = (
-        stack(lambda d: d.coeffs),
-        stack(lambda d: d.has_ac),
-        stack(lambda d: d.luma_mode),
-        stack(lambda d: d.bpred),
-        stack(lambda d: d.chroma_mode),
-        jnp.asarray(np.stack([p[0] for p in params])),
-        jnp.asarray(np.stack([p[1] for p in params])),
-        jnp.asarray(np.stack([p[2] for p in params])),
-        jnp.asarray(np.stack(do_sub)),
+    h0 = batch["headers"][0]
+    rgb = _device_decode_levels(
+        jnp.asarray(batch["i16buf"]),
+        jnp.asarray(batch["u8buf"]),
+        int(h0[2]), int(h0[3]), bool(h0[4]), int(h0[0]), int(h0[1]),
+        backend,
     )
-    if backend == "v1":
-        rgb = _device_decode_batch(
-            *args, d0.mbw, d0.mbh, bool(d0.filter_type), d0.width, d0.height
+    return rgb if device_out else np.asarray(rgb)
+
+
+_PARSE_POOL = None
+
+
+def _parse_pool():
+    global _PARSE_POOL
+    if _PARSE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PARSE_POOL = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
+    return _PARSE_POOL
+
+
+def filter_params_from_header(header, seg, segment_ids, luma_mode):
+    """Per-MB (level, interior, hev) from levels-mode header arrays.
+
+    Mirrors Vp8Decoder.filter_params_arrays (reference derivation:
+    /root/reference/src/decoder/vp8.rs:1470-1523).
+    """
+    filter_level = int(header[5])
+    sharpness = int(header[6])
+    lf_adjust = bool(header[7])
+    ref_delta0, mode_delta0 = int(header[8]), int(header[9])
+    segments_enabled = bool(header[10])
+    seg_lf = seg[:, 1].astype(np.int32)
+    seg_delta = np.array([bool(header[12] & (1 << i)) for i in range(4)])
+    sid = segment_ids.astype(np.int32)
+    nmb = len(segment_ids)
+    level = np.full(nmb, filter_level, np.int32)
+    if segments_enabled:
+        level = np.where(seg_delta[sid], filter_level + seg_lf[sid], seg_lf[sid])
+    level = np.clip(level, 0, 63)
+    if lf_adjust:
+        level = level + ref_delta0 + np.where(luma_mode == 4, mode_delta0, 0)
+    level = np.clip(level, 0, 63)
+    interior = level.copy()
+    if sharpness > 0:
+        interior >>= 2 if sharpness > 4 else 1
+        interior = np.minimum(interior, 9 - sharpness)
+    interior = np.maximum(interior, 1)
+    hev = np.where(level >= 40, 2, np.where(level >= 15, 1, 0)).astype(np.int32)
+    if filter_level == 0:
+        level = np.zeros(nmb, np.int32)
+    return level, interior, hev
+
+
+# Packed-buffer field layout (per image). The int16 buffer row holds the
+# raw levels then the dequant table; the uint8 buffer row holds the per-MB
+# mode/flag/filter-parameter fields. Offsets are in elements of the buffer
+# dtype; every field is contiguous within its row so the C++ parser can
+# write straight into the batch buffer views.
+def _u8_fields(nmb):
+    names = [
+        ("luma_mode", 1), ("chroma_mode", 1), ("segment_ids", 1),
+        ("skipped", 1), ("non_zero", 1), ("level", 1), ("interior", 1),
+        ("hev", 1), ("bpred", 16),
+    ]
+    out, off = {}, 0
+    for name, width in names:
+        out[name] = (off, width)
+        off += nmb * width
+    return out, off
+
+
+def parse_levels_batch(payloads):
+    """Run the C++ levels-mode entropy pass over a same-geometry batch.
+
+    Writes into two packed batch buffers (i16buf [B, nmb*400 + 1600]:
+    levels then qtab; u8buf [B, nmb*24]: modes/flags/filter params) so the
+    device upload is exactly two transfers and the host never re-copies.
+    """
+    from ..io import native
+
+    B = len(payloads)
+    w, h = native_parse_dims(payloads[0])
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    nmb = mbw * mbh
+
+    i16buf = np.zeros((B, nmb * 400 + 4 * 400), np.int16)
+    fields, u8_row = _u8_fields(nmb)
+    u8buf = np.zeros((B, u8_row), np.uint8)
+    headers = np.zeros((B, 16), np.int32)
+    segs = np.zeros((B, 4, 8), np.int32)
+
+    def view8(b, name):
+        off, width = fields[name]
+        v = u8buf[b, off : off + nmb * width]
+        return v if width == 1 else v.reshape(nmb, width)
+
+    def one(b):
+        levels = i16buf[b, : nmb * 400]
+        native.vp8_entropy_decode16_into(
+            payloads[b], headers[b], segs[b].reshape(-1),
+            view8(b, "luma_mode"), view8(b, "chroma_mode"),
+            view8(b, "segment_ids"), view8(b, "bpred").reshape(-1),
+            view8(b, "skipped"), view8(b, "non_zero"), levels,
+        )
+        if headers[b][2] != mbw or headers[b][3] != mbh:
+            raise ValueError("mixed geometries in decode batch")
+        # Per-(segment, block, position) dequant factors: blocks 0-15 luma
+        # (ydc/yac), 16-23 chroma (uvdc/uvac), 24 Y2 (y2dc/y2ac).
+        qtab = i16buf[b, nmb * 400 :].reshape(4, 25, 16)
+        for s in range(4):
+            ydc, yac, y2dc, y2ac, uvdc, uvac = segs[b, s, 2:8]
+            qtab[s, :16, 0] = ydc
+            qtab[s, :16, 1:] = yac
+            qtab[s, 16:24, 0] = uvdc
+            qtab[s, 16:24, 1:] = uvac
+            qtab[s, 24, 0] = y2dc
+            qtab[s, 24, 1:] = y2ac
+        lv, it, hv = filter_params_from_header(
+            headers[b], segs[b], view8(b, "segment_ids"), view8(b, "luma_mode")
+        )
+        view8(b, "level")[:] = lv
+        view8(b, "interior")[:] = it
+        view8(b, "hev")[:] = hv
+
+    list(_parse_pool().map(one, range(B)))
+    return dict(i16buf=i16buf, u8buf=u8buf, headers=headers, segs=segs)
+
+
+def native_parse_dims(payload):
+    from ..io import native
+    import ctypes
+
+    lib = native._load()
+    buf = np.frombuffer(bytes(payload), np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    rc = lib.vp8_parse_dims(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        raise ValueError(f"vp8_parse_dims failed: {rc}")
+    return w.value, h.value
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
+def _device_decode_levels(
+    i16buf, u8buf,
+    mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+):
+    """Packed buffers -> RGB: dequant, Y2 IWHT+fold, IDCT, recon, filter.
+
+    The DC-only IDCT identity (full IDCT of an AC-free block == the
+    (dc+4)>>3 shortcut) lets this path run the full IDCT unconditionally,
+    so has_ac never needs to leave the device.
+    """
+    B = i16buf.shape[0]
+    nmb = mbw * mbh
+    levels = i16buf[:, : nmb * 400].reshape(B, nmb, 25, 16)
+    qtab = i16buf[:, nmb * 400 :].reshape(B, 4, 25, 16).astype(jnp.int32)
+    fields, _ = _u8_fields(nmb)
+
+    def f8(name):
+        off, width_ = fields[name]
+        v = u8buf[:, off : off + nmb * width_]
+        return v if width_ == 1 else v.reshape(B, nmb, width_)
+
+    luma_mode = f8("luma_mode")
+    chroma_mode = f8("chroma_mode")
+    segment_ids = f8("segment_ids")
+    skipped = f8("skipped")
+    non_zero = f8("non_zero")
+    level = f8("level").astype(jnp.int32)
+    interior = f8("interior").astype(jnp.int32)
+    hev_t = f8("hev").astype(jnp.int32)
+    bpred = f8("bpred")
+
+    lv32 = levels.astype(jnp.int32)                       # [B, nmb, 25, 16]
+    sid = segment_ids.astype(jnp.int32)
+    q = jnp.zeros((B, nmb, 25, 16), jnp.int32)
+    for s in range(4):
+        q = q + jnp.where((sid == s)[..., None, None], qtab[:, s][:, None], 0)
+    deq = lv32 * q
+    y2 = jax_ops.iwht4x4(deq[:, :, 24, :])                # [B, nmb, 16]
+    lm = luma_mode.astype(jnp.int32)
+    dcs = jnp.where((lm != 4)[..., None], y2, deq[:, :, :16, 0])
+    coeffs = deq[:, :, :24, :].at[:, :, :16, 0].set(dcs)
+    residuals = jax_ops.idct4x4(coeffs)
+
+    do_sub = (lm == 4) | (~skipped.astype(bool) & non_zero.astype(bool))
+    bp = bpred.astype(jnp.int32)
+    cm = chroma_mode.astype(jnp.int32)
+
+    if backend == "pallas":
+        from ..ops.pallas.decode_wavefront import decode_planes_pallas
+
+        y, u, v = decode_planes_pallas(
+            residuals, lm, bp, cm, level, interior, hev_t, do_sub,
+            mbw, mbh, simple,
         )
     else:
-        rgb = _device_decode_batch_v2(
-            *args, d0.mbw, d0.mbh, bool(d0.filter_type), d0.width, d0.height,
-            backend,
-        )[3]
-    return np.asarray(rgb)
+        y, u, v = reconstruct_frames_v2(residuals, lm, bp, cm, mbw, mbh)
+        y, u, v = loop_filter_frames_v2(
+            y, u, v, level, interior, hev_t, do_sub, mbw, mbh, simple
+        )
+    return jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)

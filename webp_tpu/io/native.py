@@ -66,6 +66,11 @@ def _load_locked():
         u8p, ctypes.c_int, u8p, u8p, u8p, i16p, i16p,
         i32p, i32p, i32p, i32p, i32p, i32p, u8p, u8p, u8p, i32p,
     ]
+    lib.vp8_entropy_decode16.restype = ctypes.c_int
+    lib.vp8_entropy_decode16.argtypes = [
+        u8p, ctypes.c_int, u8p, u8p, u8p, i16p, i16p,
+        i32p, i32p, u8p, u8p, u8p, u8p, u8p, u8p, i16p,
+    ]
     lib.vp8_token_encode.restype = ctypes.c_int
     lib.vp8_token_encode.argtypes = [i32p, i32p, ctypes.c_int, u8p, u8p, ctypes.c_int]
     lib.vp8_token_stats.restype = ctypes.c_int
@@ -174,6 +179,32 @@ def vp8_entropy_decode(data: bytes) -> EntropyResult:
     r.has_ac = has_ac.astype(bool)
     r.coeffs = coeffs
     return r
+
+
+def vp8_entropy_decode16_into(data, header, seg, luma_mode, chroma_mode,
+                              segment_ids, bpred, skipped, non_zero, levels):
+    """Levels-mode entropy pass writing into caller-provided (zeroed) arrays.
+
+    The fast batch path: `levels` is int16 raw quantizer levels
+    [nmb, 25, 16] (block 24 = Y2, untransformed); mode arrays are uint8.
+    All arrays must be C-contiguous views (e.g. rows of a batch buffer) and
+    zero-initialized — only nonzero values are written. The device
+    dequantizes and folds Y2 (see decode/device.py).
+    """
+    lib = _load()
+    buf = np.frombuffer(bytes(data), np.uint8)
+    rc = lib.vp8_entropy_decode16(
+        _p(buf, ctypes.c_uint8), len(buf),
+        _p(_DEFAULT_PROBS, ctypes.c_uint8), _p(_UPDATE_PROBS, ctypes.c_uint8),
+        _p(_BPRED_PROBS, ctypes.c_uint8), _p(_DC_Q, ctypes.c_int16), _p(_AC_Q, ctypes.c_int16),
+        _p(header, ctypes.c_int32), _p(seg, ctypes.c_int32),
+        _p(luma_mode, ctypes.c_uint8), _p(chroma_mode, ctypes.c_uint8),
+        _p(segment_ids, ctypes.c_uint8), _p(bpred, ctypes.c_uint8),
+        _p(skipped, ctypes.c_uint8), _p(non_zero, ctypes.c_uint8),
+        _p(levels, ctypes.c_int16),
+    )
+    if rc != 0:
+        raise ValueError(f"vp8_entropy_decode16 failed: {rc}")
 
 
 def vp8_token_encode(levels: np.ndarray, meta: np.ndarray, probs: np.ndarray) -> bytes:

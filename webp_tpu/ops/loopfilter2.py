@@ -130,25 +130,35 @@ def _filter_patch(patch, n: int, has_left, has_top, level, interior, hev_t,
     en_top = (has_top & on)[..., None]
     en_sub = (on & do_sub)[..., None]
 
+    # NB: boundary edges (col/row == 4, or touching the patch's far side)
+    # would make the flanking concat pieces zero-size — legal in XLA but not
+    # in Mosaic (Pallas TPU), so empty pieces are skipped statically.
+
     def v_edge(p, col, kind, lim, en):
         c = [p[:, :, 4:, col - 4 + k] for k in range(8)]
         c = _filter_window(c, kind, hv_t, intr, lim, en, simple)
         block = jnp.concatenate([x[..., None] for x in c], axis=-1)
-        return jnp.concatenate(
-            [p[:, :, :, : col - 4],
-             jnp.concatenate([p[:, :, :4, col - 4 : col + 4], block], axis=-2),
-             p[:, :, :, col + 4 :]],
-            axis=-1,
-        )
+        mid = jnp.concatenate([p[:, :, :4, col - 4 : col + 4], block], axis=-2)
+        pieces = []
+        if col > 4:
+            pieces.append(p[:, :, :, : col - 4])
+        pieces.append(mid)
+        if col + 4 < p.shape[-1]:
+            pieces.append(p[:, :, :, col + 4 :])
+        return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else mid
 
     def h_edge(p, row, kind, lim, en):
         c = [p[:, :, row - 4 + k, 4:] for k in range(8)]
         c = _filter_window(c, kind, hv_t, intr, lim, en, simple)
         block = jnp.concatenate([x[..., None, :] for x in c], axis=-2)
         rows = jnp.concatenate([p[:, :, row - 4 : row + 4, :4], block], axis=-1)
-        return jnp.concatenate(
-            [p[:, :, : row - 4], rows, p[:, :, row + 4 :]], axis=-2
-        )
+        pieces = []
+        if row > 4:
+            pieces.append(p[:, :, : row - 4])
+        pieces.append(rows)
+        if row + 4 < p.shape[-2]:
+            pieces.append(p[:, :, row + 4 :])
+        return jnp.concatenate(pieces, axis=-2) if len(pieces) > 1 else rows
 
     patch = v_edge(patch, 4, "mb", mb_lim, en_left)
     for col in range(8, n + 3, 4):
