@@ -11,20 +11,15 @@ from webp_tpu.encode import costs as C
 from webp_tpu.encode.quant import SegmentParams, quality_to_quant_index
 from webp_tpu.encode.vp8 import Vp8Encoder
 from webp_tpu.ops.encode_wavefront import EncParams, EncTables, encode_analysis_frame
+from webp_tpu.ops.encode_wavefront2 import encode_analysis_batch_v2
 from webp_tpu.ops.yuv import rgb_to_yuv420
 
 from conftest import load_png
 
 
-@pytest.mark.parametrize("q", [40, 75])
-def test_device_analysis_equals_python(goldens, q):
-    src = load_png(goldens / "gallery1" / "1.png")[:96, :112].copy()
-    y, u, v = rgb_to_yuv420(src)
-    h, w = src.shape[:2]
-    mbw, mbh = (w + 15) // 16, (h + 15) // 16
-
-    enc = Vp8Encoder(q, 3)  # method 3: no trellis (device trellis port pending)
-    enc.mbw, enc.mbh = mbw, mbh
+def _python_arrays(y, u, v, w, h, q, method):
+    enc = Vp8Encoder(q, method)
+    enc.mbw, enc.mbh = (w + 15) // 16, (h + 15) // 16
     enc.width, enc.height = w, h
     enc.ybuf, enc.ubuf, enc.vbuf = y, u, v
     qi = quality_to_quant_index(q)
@@ -34,13 +29,46 @@ def test_device_analysis_equals_python(goldens, q):
     enc.level_costs = C.LevelCosts(enc.probs)
     enc.stats = C.ProbaStats()
     enc._setup_segments(qi)
-    py = enc._analysis_arrays()
+    return enc, enc._analysis_arrays()
+
+
+@pytest.mark.parametrize("q", [40, 75])
+def test_device_analysis_equals_python(goldens, q):
+    src = load_png(goldens / "gallery1" / "1.png")[:96, :112].copy()
+    y, u, v = rgb_to_yuv420(src)
+    h, w = src.shape[:2]
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+
+    enc, py = _python_arrays(y, u, v, w, h, q, 3)
 
     out = encode_analysis_frame(
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
         EncParams(enc.seg), EncTables.default(), mbw, mbh, 3,
     )
     dev = {k: np.asarray(val) for k, val in out.items()}
+
+    for key in ("luma_mode", "chroma_mode", "y_levels", "y2_levels", "uv_levels"):
+        np.testing.assert_array_equal(dev[key], py[key], err_msg=key)
+    b_mbs = py["luma_mode"] == 4
+    np.testing.assert_array_equal(dev["bpred"][b_mbs], py["bpred"][b_mbs])
+
+
+@pytest.mark.parametrize("q", [40, 75])
+def test_v2_analysis_equals_python(goldens, q):
+    """Lane-aligned v2 kernel must match the python RD search decisions
+    (method 3 / n_try 3: the no-trellis configuration both paths share)."""
+    src = load_png(goldens / "gallery1" / "1.png")[:96, :112].copy()
+    y, u, v = rgb_to_yuv420(src)
+    h, w = src.shape[:2]
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+
+    enc, py = _python_arrays(y, u, v, w, h, q, 3)
+
+    out = encode_analysis_batch_v2(
+        jnp.asarray(y)[None], jnp.asarray(u)[None], jnp.asarray(v)[None],
+        EncParams(enc.seg), EncTables.default(), mbw, mbh, 3,
+    )
+    dev = {k: np.asarray(val[0]).astype(np.int64) for k, val in out.items()}
 
     for key in ("luma_mode", "chroma_mode", "y_levels", "y2_levels", "uv_levels"):
         np.testing.assert_array_equal(dev[key], py[key], err_msg=key)

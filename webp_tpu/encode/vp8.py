@@ -181,18 +181,20 @@ class Vp8Encoder:
     def _analysis_arrays(self):
         """Run mode decision; returns per-MB arrays (device or python)."""
         if self.backend == "device":
-            from ..ops.encode_wavefront import EncTables, EncParams, encode_analysis_frame
+            from ..ops.encode_wavefront import EncTables, EncParams
+            from ..ops.encode_wavefront2 import encode_analysis_batch_v2
             import jax.numpy as jnp
 
             n_try = 0 if self.method <= 1 else (
                 3 if self.method <= 3 else (4 if self.method == 4 else 10)
             )
-            out = encode_analysis_frame(
-                jnp.asarray(self.ybuf), jnp.asarray(self.ubuf), jnp.asarray(self.vbuf),
+            out = encode_analysis_batch_v2(
+                jnp.asarray(self.ybuf)[None], jnp.asarray(self.ubuf)[None],
+                jnp.asarray(self.vbuf)[None],
                 EncParams(self.seg), EncTables.from_level_costs(self.level_costs),
                 self.mbw, self.mbh, n_try,
             )
-            arrays = {k: np.asarray(v) for k, v in out.items()}
+            arrays = {k: np.asarray(v[0]).astype(np.int32) for k, v in out.items()}
             # Device path leaves y2 zeroed for B MBs already.
             return arrays
 
@@ -948,7 +950,8 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4) -> list:
     """
     import jax.numpy as jnp
 
-    from ..ops.encode_wavefront import EncParams, EncTables, encode_analysis_batch
+    from ..ops.encode_wavefront import EncParams, EncTables
+    from ..ops.encode_wavefront2 import encode_analysis_batch_v2
 
     h, w = rgbs[0].shape[:2]
     planes = [yuvops.rgb_to_yuv420(im) for im in rgbs]
@@ -957,7 +960,7 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4) -> list:
     seg = SegmentParams(qi)
     n_try = 0 if method <= 1 else (3 if method <= 3 else (4 if method == 4 else 10))
 
-    out = encode_analysis_batch(
+    out = encode_analysis_batch_v2(
         jnp.asarray(np.stack([p[0] for p in planes])),
         jnp.asarray(np.stack([p[1] for p in planes])),
         jnp.asarray(np.stack([p[2] for p in planes])),
@@ -967,7 +970,7 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4) -> list:
         mbh,
         n_try,
     )
-    out = {k: np.asarray(v) for k, v in out.items()}
+    out = {k: np.asarray(v).astype(np.int32) for k, v in out.items()}
 
     results = []
     for i, (y, u, v) in enumerate(planes):

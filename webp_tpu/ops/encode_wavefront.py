@@ -52,6 +52,11 @@ IZZ = np.argsort(ZZ)
 class EncTables:
     """Constant device arrays: cost tables, weights, fixed mode costs."""
 
+    # Token-class representatives: pos_cost[..., v] is constant within each
+    # class (the per-level extra bits live in the fixed table), so the v2
+    # kernel rates levels with an 11-wide one-hot against cls_cost.
+    _CLS_REPS = np.array([0, 1, 2, 3, 4, 5, 7, 11, 19, 35, 67])
+
     def __init__(self, level_costs, ent_cost, fixed_costs, weight_y, fixed_i16, fixed_uv, fixed_i4):
         self.pos_cost = jnp.asarray(level_costs.pos_cost, jnp.int32)  # [4,16,3,68]
         self.p0 = jnp.asarray(level_costs.p0, jnp.int32)  # [4,16,3]
@@ -61,6 +66,14 @@ class EncTables:
         self.fixed_i16 = jnp.asarray(fixed_i16, jnp.int32)
         self.fixed_uv = jnp.asarray(fixed_uv, jnp.int32)
         self.fixed_i4 = jnp.asarray(fixed_i4, jnp.int32)  # [10,10,10]
+        ent64 = np.asarray(ent_cost, np.int64)
+        p0np = np.asarray(level_costs.p0, np.int64)
+        # [4,16,3,11] f32 class costs (exact: values < 2^24).
+        self.cls_cost = jnp.asarray(
+            np.asarray(level_costs.pos_cost)[..., self._CLS_REPS], jnp.float32
+        )
+        self.eob_cost = jnp.asarray(ent64[p0np], jnp.int32)        # [4,16,3]
+        self.init_cost = jnp.asarray(ent64[255 - p0np], jnp.int32)  # [4,16,3]
 
     @classmethod
     def from_level_costs(cls, lc):
@@ -574,7 +587,8 @@ def _encparams_unflatten(aux, leaves):
 jax.tree_util.register_pytree_node(
     EncTables,
     lambda t: (
-        (t.pos_cost, t.p0, t.fixed, t.ent, t.weight_y, t.fixed_i16, t.fixed_uv, t.fixed_i4),
+        (t.pos_cost, t.p0, t.fixed, t.ent, t.weight_y, t.fixed_i16, t.fixed_uv,
+         t.fixed_i4, t.cls_cost, t.eob_cost, t.init_cost),
         None,
     ),
     lambda aux, leaves: _enctables_unflatten(aux, leaves),
@@ -583,7 +597,8 @@ jax.tree_util.register_pytree_node(
 
 def _enctables_unflatten(aux, leaves):
     t = EncTables.__new__(EncTables)
-    (t.pos_cost, t.p0, t.fixed, t.ent, t.weight_y, t.fixed_i16, t.fixed_uv, t.fixed_i4) = leaves
+    (t.pos_cost, t.p0, t.fixed, t.ent, t.weight_y, t.fixed_i16, t.fixed_uv,
+     t.fixed_i4, t.cls_cost, t.eob_cost, t.init_cost) = leaves
     return t
 
 

@@ -1,0 +1,744 @@
+"""Lane-aligned encoder mode decision + reconstruction, v2.
+
+Same restructuring applied to the decoder in `wavefront2.py`: instead of
+vmapping a ragged anti-diagonal of MBs (v1 `encode_wavefront.py`, ~25 active
+lanes and per-lane dynamic gathers), every MB row advances together — at step
+t, row r decides MB (x = t - 2r, r) — so each scan step is a fixed sequence
+of dense [R, B, ...] vector ops and all cross-row dataflow is a static row
+shift plus 3-slot ring buffers indexed by t mod 3.
+
+The RD search semantics mirror `webp_tpu.encode.vp8._analysis_pass` exactly
+(reference flow `/root/reference/src/encoder/vp8.rs:1281-1488`): I16 DC/V/H/TM
+with Y2 WHT, sequential 16-subblock I4 with top-n_try candidate filtering by
+prediction SSE and the running-score early exit, UV DC/V/H/TM with the
+flatness penalty, and chroma DC error diffusion — same tie-breaking, same
+integer RD score (`_rd_score32`).  `tests/test_encode_wavefront.py` enforces
+equality with the python backend.
+
+Structural upgrades over v1 beyond the schedule — all driven by the fact
+that XLA:TPU lowers per-lane table gathers to near-scalar loops (measured
+~2 ms for one [R,B,10,16] GetResidualCost call, dominating the kernel):
+  - `residual_costs_par` is gather-free.  pos_cost[t][n][ctx][v] is constant
+    within each of the 11 token classes (it is the token-tree path cost, the
+    per-level extra bits live in VP8_LEVEL_FIXED_COSTS), so the rate is an
+    11-wide one-hot matmul against a [16, 3, 11] class-cost table; the fixed
+    extra-bits cost is reconstructed arithmetically from the category bit
+    pattern (verified equal to the table for every level 0..2047).
+  - candidate picks (I16 best-of-4, I4 top-n_try by SSE, UV best-of-4) are
+    one-hot einsums instead of argsort / take_along_axis.
+  - U and V ride one [R, B, 2, ...] channel axis through the chroma search.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import vp8_tables as T
+from ..encode import tables as ET
+from . import jax_ops
+from .encode_wavefront import BIG, IZZ, ZZ, EncParams, EncTables, _rd_score32
+from .wavefront2 import (
+    _W13,
+    _R13,
+    _clip255,
+    _shift_down_rows,
+    make_schedule_gather,
+    ring_read,
+    ring_write,
+    schedule_mb_data,
+)
+
+_IZZ_J = jnp.asarray(IZZ)
+_ZZ_J = jnp.asarray(ZZ)
+
+# --- static cost-table decompositions (built once, in numpy) ----------------
+
+# Token classes over clamped levels vc = min(v, 67): 0,1,2,3,4,cat1..cat6.
+_CLS_THRESH = np.array([1, 2, 3, 4, 5, 7, 11, 19, 35, 67], np.int32)
+_CLS_REPS = np.array([0, 1, 2, 3, 4, 5, 7, 11, 19, 35, 67], np.int32)
+
+# Per-category extra-bits cost tables: value = base[cat] + extra, and the
+# extra bits are coded MSB-first with PROB_DCT_CAT.  CL1/CL0[cat][j] is the
+# cost of a 1/0 bit at shift j (j counted from the LSB).
+_CAT_BASE = np.array([5, 7, 11, 19, 35, 67], np.int32)
+_CAT_NBITS = np.array([1, 2, 3, 4, 5, 11], np.int32)
+
+
+def _build_fixed_decomp():
+    ent = ET.VP8_ENTROPY_COST.astype(np.int64)
+    cl0 = np.zeros((6, 11), np.int32)
+    cl1 = np.zeros((6, 11), np.int32)
+    for cat in range(6):
+        probs = T.PROB_DCT_CAT[cat]
+        nb = len(probs)
+        for j in range(nb):
+            p = int(probs[nb - 1 - j])
+            cl0[cat, j] = ent[p]
+            cl1[cat, j] = ent[255 - p]
+
+    def arith(v):
+        if v == 0:
+            return 0
+        c = 256
+        if v < 5:
+            return c
+        cat = int((v >= _CAT_BASE).sum()) - 1
+        extra = v - int(_CAT_BASE[cat])
+        for j in range(int(_CAT_NBITS[cat])):
+            c += int(cl1[cat, j] if (extra >> j) & 1 else cl0[cat, j])
+        return c
+
+    fx = ET.VP8_LEVEL_FIXED_COSTS.astype(np.int64)
+    diff = np.array([int(fx[v]) - arith(v) for v in range(2048)], np.int64)
+    bad = np.nonzero(diff)[0]
+    # libwebp's table deviates from the pure formula only at levels 9 and 10
+    # (a historical quirk carried by every implementation); anything else
+    # differing would mean the probability tables changed under us.
+    assert set(bad.tolist()) <= {9, 10}, bad
+    corr = {int(v): int(diff[v]) for v in bad}
+    return cl0, cl1, corr
+
+
+_CL0_np, _CL1_np, _FIXED_CORR = _build_fixed_decomp()
+_CL0 = jnp.asarray(_CL0_np)  # [6, 11]
+_CL1 = jnp.asarray(_CL1_np)
+
+
+def _cat_select(cat, table_np):
+    """table_np [6] static -> per-lane value by category index (selects)."""
+    out = jnp.full(cat.shape, int(table_np[0]), jnp.int32)
+    for c in range(1, 6):
+        out = jnp.where(cat == c, int(table_np[c]), out)
+    return out
+
+
+def _fixed_cost_arith(v):
+    """VP8_LEVEL_FIXED_COSTS[min(v, 2047)] without a gather.
+
+    v [...] int32 >= 0.  Sign bit (256) + per-category extra-bits cost,
+    with the two table quirks (levels 9, 10) patched by constants.
+    """
+    v = jnp.minimum(v, 2047)
+    ge5 = v >= 5
+    cat = (
+        (v >= 5).astype(jnp.int32)
+        + (v >= 7)
+        + (v >= 11)
+        + (v >= 19)
+        + (v >= 35)
+        + (v >= 67)
+        - 1
+    )
+    catc = jnp.maximum(cat, 0)
+    base = _cat_select(catc, _CAT_BASE)
+    nbits = _cat_select(catc, _CAT_NBITS)
+    extra = v - base
+    cost = jnp.where(v > 0, 256, 0)
+    for j in range(11):
+        bit = (extra >> j) & 1
+        c0j = _cat_select(catc, _CL0_np[:, j])
+        c1j = _cat_select(catc, _CL1_np[:, j])
+        cost = cost + jnp.where(ge5 & (j < nbits), jnp.where(bit == 1, c1j, c0j), 0)
+    for lvl, d in _FIXED_CORR.items():
+        cost = cost + jnp.where(v == lvl, d, 0)
+    return cost
+
+
+def _onehot(idx, n, dtype=jnp.float32):
+    return (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(dtype)
+
+
+def _split_einsum(spec, table_i32, *ohs):
+    """Exact one-hot table pick as two einsums.
+
+    XLA lowers f32 dots to bf16 multiplies by default (on TPU MXU and the CPU
+    fast path), which silently rounds table values above 2^8.  Splitting the
+    table into two 7-bit halves keeps every operand exactly representable in
+    bf16 (one-hots are 0/1; halves are < 128), so the accumulated f32 result
+    is exact.  Requires 0 <= table < 2^14.
+    """
+    tf = table_i32.astype(jnp.int32)
+    hi = jnp.einsum(spec, *ohs, (tf >> 7).astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    lo = jnp.einsum(spec, *ohs, (tf & 127).astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    return (hi * 128 + lo).astype(jnp.int32)
+
+
+def _ctx3(stacked, ctx):
+    """stacked [..., 3] picked by ctx [...] in {0,1,2} (selects)."""
+    return jnp.where(
+        ctx == 0, stacked[..., 0], jnp.where(ctx == 1, stacked[..., 1], stacked[..., 2])
+    )
+
+
+def residual_costs_par(levels, ctype: int, first: int, ctx0, tbl: EncTables):
+    """Rate of [..., 16] zigzag level blocks in 1/256 bits — gather-free.
+
+    Bit-identical to `encode_wavefront.residual_costs_jax` (GetResidualCost,
+    `/root/reference/src/encoder/cost.rs:1666-1740`): token contexts are
+    closed-form (ctx[n] = min(|v[n-1]|, 2)), the class cost is a one-hot-11
+    matmul, the fixed cost is `_fixed_cost_arith`, and EOB/init/empty terms
+    come from the precomputed [16, 3] cost tables.
+    """
+    v = jnp.abs(levels)
+    lead = levels.shape[:-1]
+    nz = v != 0
+    any_nz = nz[..., first:].any(axis=-1)
+    n_idx = jnp.arange(16, dtype=jnp.int32)
+    last = jnp.max(jnp.where(nz, n_idx, -1), axis=-1)  # -1 when all-zero
+
+    vc = jnp.minimum(v, 67)
+    vfix = _fixed_cost_arith(v)
+
+    ctx0b = jnp.broadcast_to(jnp.asarray(ctx0, jnp.int32), lead)
+    ctx = jnp.concatenate([ctx0b[..., None], jnp.minimum(v[..., :-1], 2)], axis=-1)
+    if first:
+        ctx = ctx.at[..., first].set(ctx0b)
+
+    # Class cost: one-hot over the 11 token classes, batched matmul over the
+    # 16 positions, then a 3-way context select.
+    cls = sum((vc >= int(t)).astype(jnp.int32) for t in _CLS_THRESH)
+    oh = _onehot(cls, 11)  # [..., 16, 11]
+    cc3 = _split_einsum(
+        "...nk,nck->...nc", tbl.cls_cost[ctype].astype(jnp.int32), oh
+    )
+    terms = _ctx3(cc3, ctx) + vfix
+
+    active = (n_idx >= first) & (n_idx <= last[..., None])
+    cost = jnp.where(active, terms, 0).sum(axis=-1)
+    cost = cost + jnp.where(ctx0b == 0, tbl.init_cost[ctype, first, 0], 0)
+
+    is_last = n_idx == last[..., None]
+    lastv1 = ((v == 1) & is_last).any(-1)
+    last_ctx = jnp.where(lastv1, 1, 2)
+    eob_pos = jnp.minimum(last + 1, 15)
+    eob3 = _split_einsum("...n,nc->...c", tbl.eob_cost[ctype], _onehot(eob_pos, 16))
+    eobc = jnp.where(last_ctx == 1, eob3[..., 1], eob3[..., 2])
+    cost = jnp.where(any_nz & (last < 15), cost + eobc, cost)
+
+    empty = _ctx3(
+        jnp.broadcast_to(tbl.eob_cost[ctype, first], (*lead, 3)), ctx0b
+    )
+    return jnp.where(any_nz, cost, empty)
+
+
+# ---------------------------------------------------------------------------
+# Small batched helpers (arbitrary leading dims)
+# ---------------------------------------------------------------------------
+
+
+def _blocks16(mb):
+    """[..., 16, 16] spatial -> [..., 16, 16] raster-order coeff blocks."""
+    s = mb.shape[:-2]
+    return mb.reshape(*s, 4, 4, 4, 4).swapaxes(-3, -2).reshape(*s, 16, 16)
+
+
+def _spatial16(blk):
+    s = blk.shape[:-2]
+    return blk.reshape(*s, 4, 4, 4, 4).swapaxes(-3, -2).reshape(*s, 16, 16)
+
+
+def _blocks8(mb):
+    """[..., 8, 8] spatial -> [..., 4, 16] raster-order coeff blocks."""
+    s = mb.shape[:-2]
+    return mb.reshape(*s, 2, 4, 2, 4).swapaxes(-3, -2).reshape(*s, 4, 16)
+
+
+def _spatial8(blk):
+    s = blk.shape[:-2]
+    return blk.reshape(*s, 2, 2, 4, 4).swapaxes(-3, -2).reshape(*s, 8, 8)
+
+
+def _quant_zz(blocks_raster, iq, bias):
+    return jax_ops.quantize_zz(blocks_raster[..., _ZZ_J], iq, bias)
+
+
+def _dequant_zz(levels, q):
+    return (levels * q)[..., _IZZ_J]
+
+
+def _t_transform(blocks4, w):
+    """Hadamard |.|-weighted sum of [..., 4, 4] blocks -> [...]."""
+    b = blocks4.astype(jnp.int32)
+    e0, e1, e2, e3 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    a0, a1, a2, a3 = e0 + e2, e1 + e3, e1 - e3, e0 - e2
+    t = jnp.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-1)
+    c0, c1, c2, c3 = t[..., 0, :], t[..., 1, :], t[..., 2, :], t[..., 3, :]
+    a0, a1, a2, a3 = c0 + c2, c1 + c3, c1 - c3, c0 - c2
+    out = jnp.stack([a0 + a1, a3 + a2, a3 - a2, a0 - a1], axis=-2)
+    return (jnp.abs(out) * w.reshape(4, 4)).sum(axis=(-1, -2))
+
+
+def _whole_pred_all4(a, left, tl, has_above, has_left, size: int):
+    """DC/V/H/TM whole-block predictions, all four stacked.
+
+    a [..., size], left [..., size], tl [...], has_* [...] bool.
+    Returns [..., 4, size, size].
+    """
+    shf = (
+        (2 if size == 8 else 3)
+        + has_above.astype(jnp.int32)
+        + has_left.astype(jnp.int32)
+    )
+    total = jnp.where(has_left, left.sum(-1), 0) + jnp.where(has_above, a.sum(-1), 0)
+    dc = jnp.where(has_above | has_left, (total + (1 << (shf - 1))) >> shf, 128)
+    lead = a.shape[:-1]
+    dc_blk = jnp.broadcast_to(dc[..., None, None], (*lead, size, size))
+    v_blk = jnp.broadcast_to(a[..., None, :], (*lead, size, size))
+    h_blk = jnp.broadcast_to(left[..., :, None], (*lead, size, size))
+    tm_blk = _clip255(left[..., :, None] + a[..., None, :] - tl[..., None, None])
+    return jnp.stack([dc_blk, v_blk, h_blk, tm_blk], axis=-3)
+
+
+def _pick_mode(x, best, M: int):
+    """Select x[:, :, m] by per-lane index `best` [R,B] — an exact select
+    chain (int-safe where one-hot float sums would round above 2^24)."""
+    R, B = best.shape
+    bb = best.reshape(R, B, *(1,) * (x.ndim - 3))
+    out = x[:, :, 0]
+    for m in range(1, M):
+        out = jnp.where(bb == m, x[:, :, m], out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-step searches
+# ---------------------------------------------------------------------------
+
+
+def _i16_search_v2(a16, left16, tl, src, has_above, has_left, P, tbl):
+    """All-mode I16 search. src [R,B,16,16] int32.
+
+    Returns (mode [R,B], i16_score_at_lambda_mode, y2_lv [R,B,16],
+    y_lv [R,B,16,16], rec [R,B,16,16]).
+    """
+    R, B = src.shape[:2]
+    pred4 = _whole_pred_all4(a16, left16, tl, has_above, has_left, 16)
+    resid = src[..., None, :, :] - pred4  # [R,B,4,16,16]
+    dct = jax_ops.dct4x4(_blocks16(resid))  # [R,B,4,16,16]
+    y2 = jax_ops.wht4x4(dct[..., 0])  # [R,B,4,16]
+    y2_lv = _quant_zz(y2, P.y2_iq, P.y2_bias)
+    y_lv = _quant_zz(dct, P.y1_iq, P.y1_bias).at[..., 0].set(0)
+    cost = residual_costs_par(y2_lv, 1, 0, 0, tbl) + residual_costs_par(
+        y_lv, 0, 1, 0, tbl
+    ).sum(-1)
+
+    y2_r = jax_ops.iwht4x4(_dequant_zz(y2_lv, P.y2_q))
+    blk = _dequant_zz(y_lv, P.y1_q).at[..., 0].set(y2_r)
+    rec = _clip255(pred4 + _spatial16(jax_ops.idct4x4(blk)))
+    d = ((rec - src[..., None, :, :]) ** 2).sum((-1, -2))
+    tsrc = _t_transform(_blocks16(src).reshape(R, B, 16, 4, 4), tbl.weight_y)
+    trec = _t_transform(_blocks16(rec).reshape(R, B, 4, 16, 4, 4), tbl.weight_y)
+    td = (jnp.abs(trec - tsrc[:, :, None]) >> 5).sum(-1)  # [R,B,4]
+    sd = jnp.where(P.tlambda > 0, (P.tlambda * td + 128) >> 8, 0)
+
+    is_flat = (src == src[..., 0:1, 0:1]).all((-1, -2))
+    flat_pen = is_flat[..., None] & ((y_lv[..., 1:] != 0).sum((-1, -2)) <= 0)
+    d = jnp.where(flat_pen, d * 2, d)
+    sd = jnp.where(flat_pen, sd * 2, sd)
+
+    allowed = jnp.stack(
+        [jnp.ones_like(has_above), has_above, has_left, has_above & has_left],
+        axis=-1,
+    )
+    scores = jnp.where(
+        allowed, _rd_score32(tbl.fixed_i16 + cost, d + sd, P.lambda_i16), BIG
+    )
+    best = jnp.argmin(scores, axis=-1)  # [R,B]
+    final = _rd_score32(
+        _pick_mode(tbl.fixed_i16.reshape(1, 1, 4) + cost, best, 4),
+        _pick_mode(d + sd, best, 4),
+        P.lambda_mode,
+    )
+    return (
+        best,
+        final,
+        _pick_mode(y2_lv, best, 4),
+        _pick_mode(y_lv, best, 4),
+        _pick_mode(rec, best, 4),
+    )
+
+
+def _top_ntry_onehots(sse10, n_try: int):
+    """[R,B,10] SSEs -> one-hot [R,B,n_try,10] of the n_try smallest,
+    in stable (value, index) order — same order as a stable argsort prefix."""
+    cur = sse10
+    ohs = []
+    for _ in range(n_try):
+        m = jnp.argmin(cur, axis=-1)
+        oh = _onehot(m, 10)
+        ohs.append(oh)
+        cur = jnp.where(oh > 0, BIG, cur)
+    return jnp.stack(ohs, axis=2)  # [R,B,n_try,10]
+
+
+def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P, tbl):
+    """Sequential 16-subblock I4 search over [R, B] lanes.
+
+    src [R,B,16,16] int32; tb0/lb0 [R,B,4] neighbor bpred modes.
+    Returns (ok [R,B], modes [R,B,16], levels [R,B,16,16], rec [R,B,16,16],
+    tb [R,B,4], lb [R,B,4]).
+    """
+    R, B = src.shape[:2]
+    src_blocks = _blocks16(src)  # [R,B,16,16] per-subblock raster pixels
+    tsrc_all = _t_transform(src_blocks.reshape(R, B, 16, 4, 4), tbl.weight_y)
+
+    tb, lb = tb0, lb0
+    rate = jnp.full((R, B), 211, jnp.int32)  # BMODE initial penalty
+    disto = jnp.zeros((R, B), jnp.int32)
+    ok = jnp.ones((R, B), bool)
+    blocks = [[None] * 4 for _ in range(4)]
+    modes_out = []
+    levels_out = []
+    arange10 = jnp.arange(10, dtype=jnp.int32)
+
+    for i in range(16):
+        sby, sbx = i // 4, i % 4
+        c0 = sbx * 4
+        if sby == 0:
+            a4 = a16[..., c0 : c0 + 4]
+            a47 = tr4 if sbx == 3 else a16[..., c0 + 4 : c0 + 8]
+            tl_s = tl[..., None] if sbx == 0 else a16[..., c0 - 1 : c0]
+        else:
+            a4 = blocks[sby - 1][sbx][..., 3, :]
+            a47 = tr4 if sbx == 3 else blocks[sby - 1][sbx + 1][..., 3, :]
+            tl_s = (
+                left16[..., sby * 4 - 1 : sby * 4]
+                if sbx == 0
+                else blocks[sby - 1][sbx - 1][..., 3, 3:4]
+            )
+        l4 = left16[..., sby * 4 : sby * 4 + 4] if sbx == 0 else blocks[sby][sbx - 1][..., :, 3]
+
+        b13 = jnp.concatenate([tl_s, a4, a47, l4], axis=-1)  # [R,B,13]
+        preds = jnp.dot(
+            b13.reshape(R * B, 13).astype(jnp.float32),
+            _W13,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).reshape(R, B, 160)
+        preds = jnp.clip((preds + _R13) >> 3, 0, 255).reshape(R, B, 10, 16)
+
+        src4 = src_blocks[:, :, i]  # [R,B,16]
+        sse10 = ((preds - src4[..., None, :]) ** 2).sum(-1)  # [R,B,10]
+        oh_k = _top_ntry_onehots(sse10, n_try)  # [R,B,K,10]
+        cand = jnp.einsum(
+            "rbkm,rbmv->rbkv",
+            oh_k,
+            preds.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [R,B,K,16]
+        kmode = jnp.einsum("rbkm,m->rbk", oh_k, arange10.astype(jnp.float32)).astype(
+            jnp.int32
+        )
+
+        resid = src4[..., None, :] - cand
+        dct = jax_ops.dct4x4(resid)
+        lv = _quant_zz(dct, P.y1_iq, P.y1_bias)  # [R,B,K,16]
+        cc = residual_costs_par(lv, 3, 0, 0, tbl)
+        rec = _clip255(cand + jax_ops.idct4x4(_dequant_zz(lv, P.y1_q)))
+        d = ((rec - src4[..., None, :]) ** 2).sum(-1)
+        trec = _t_transform(rec.reshape(R, B, n_try, 4, 4), tbl.weight_y)
+        td = jnp.abs(trec - tsrc_all[:, :, i : i + 1]) >> 5
+        sd = jnp.where(P.tlambda > 0, (P.tlambda * td + 128) >> 8, 0)
+
+        # Mode header cost: VP8_FIXED_COSTS_I4[top][left][mode] as one-hot
+        # contractions instead of a per-lane gather (byte-split: exact).
+        mc_all = _split_einsum(
+            "rbt,rbl,tlm->rbm",
+            tbl.fixed_i4,
+            _onehot(tb[..., sbx], 10),
+            _onehot(lb[..., sby], 10),
+        )
+        mode_costs = _split_einsum("rbkm,rbm->rbk", mc_all, oh_k)
+
+        rates = cc + mode_costs
+        scores = _rd_score32(rates, d + sd, P.lambda_i4)
+        # argmin over candidates in SSE-rank order == python's pick (among
+        # score ties the earliest candidate wins).
+        k = jnp.argmin(scores, axis=-1)
+        m = _pick_mode(kmode, k, n_try)
+        lv_k = _pick_mode(lv, k, n_try)
+        rec_k = _pick_mode(rec, k, n_try)
+        pick1 = lambda x: _pick_mode(x, k, n_try)
+
+        blocks[sby][sbx] = rec_k.reshape(R, B, 4, 4)
+        modes_out.append(m)
+        levels_out.append(lv_k)
+        tb = tb.at[..., sbx].set(m)
+        lb = lb.at[..., sby].set(m)
+        rate = rate + pick1(rates)
+        disto = disto + pick1(d) + pick1(sd)
+        ok = ok & (_rd_score32(rate, disto, P.lambda_mode) < i16_score)
+
+    rec_full = jnp.concatenate(
+        [jnp.concatenate(brow, axis=-1) for brow in blocks], axis=-2
+    )
+    return (
+        ok,
+        jnp.stack(modes_out, axis=-1),
+        jnp.stack(levels_out, axis=-2),
+        rec_full,
+        tb,
+        lb,
+    )
+
+
+def _uv_search_v2(a8, left8, tlc, src_c, has_above, has_left, P, tbl):
+    """All-mode UV search with U/V on a channel axis.
+
+    a8/left8 [R,B,2,8], tlc [R,B,2], src_c [R,B,2,8,8] int32.
+    Returns (mode [R,B], dct of the best mode [R,B,2,4,16],
+    pred of the best mode [R,B,2,8,8]).
+    """
+    R, B = src_c.shape[:2]
+    pred4 = _whole_pred_all4(
+        a8, left8, tlc, has_above[..., None], has_left[..., None], 8
+    )  # [R,B,2,4,8,8]
+    resid = src_c[..., None, :, :] - pred4
+    dct = jax_ops.dct4x4(_blocks8(resid))  # [R,B,2,4modes,4blk,16]
+    lv = _quant_zz(dct, P.uv_iq, P.uv_bias)
+    rec = _clip255(pred4 + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, P.uv_q))))
+    d = ((rec - src_c[..., None, :, :]) ** 2).sum((-1, -2)).sum(-2)  # [R,B,4]
+    lv_m = jnp.swapaxes(lv, 2, 3)  # [R,B,4modes,2,4,16]
+    cost = residual_costs_par(lv_m, 2, 0, 0, tbl).sum((-1, -2))  # [R,B,4]
+    rate = tbl.fixed_uv + cost
+    flat = (lv_m[..., 1:] != 0).sum((-1, -2, -3)) <= 2
+    mode_is_dc = jnp.arange(4) == 0
+    rate = jnp.where((~mode_is_dc) & flat, rate + 140 * 8, rate)
+    allowed = jnp.stack(
+        [jnp.ones_like(has_above), has_above, has_left, has_above & has_left],
+        axis=-1,
+    )
+    scores = jnp.where(allowed, _rd_score32(rate, d, P.lambda_uv), BIG)
+    best = jnp.argmin(scores, axis=-1)  # [R,B]
+    bb = best[:, :, None, None, None]
+    dct_k = dct[:, :, :, 0]
+    pred_k = pred4[:, :, :, 0]
+    for m in range(1, 4):
+        dct_k = jnp.where(bb == m, dct[:, :, :, m], dct_k)
+        pred_k = jnp.where(bb == m, pred4[:, :, :, m], pred_k)
+    return best, dct_k, pred_k
+
+
+def _chroma_diffusion_v2(dct, pred, P, top_err, left_err):
+    """Chroma DC error diffusion over [R,B,2] lanes (C1=7, C2=8, DSHIFT=4).
+
+    dct [R,B,2,4,16], pred [R,B,2,8,8]; top_err/left_err [R,B,2,2] int32.
+    Returns (levels [R,B,2,4,16], rec [R,B,2,8,8], new_top, new_left).
+    """
+    q = P.uv_q[0]
+    iq = P.uv_iq[0]
+    bias = P.uv_bias[0]
+    dc = dct[..., 0]  # [R,B,2,4]
+
+    def diffuse(dcv, t_err, l_err):
+        d2 = dcv + ((7 * t_err + 8 * l_err) >> 3)
+        a = jnp.abs(d2)
+        level = (a * iq + bias) >> 17
+        err = a - level * q
+        err = jnp.where(d2 < 0, -err, err)
+        return d2, jnp.clip(err >> 1, -127, 127)
+
+    te, le = top_err, left_err
+    dc0, e0 = diffuse(dc[..., 0], te[..., 0], le[..., 0])
+    dc1, e1 = diffuse(dc[..., 1], te[..., 1], e0)
+    dc2, e2 = diffuse(dc[..., 2], e0, le[..., 1])
+    dc3, e3 = diffuse(dc[..., 3], e1, e2)
+    nl1 = (3 * e3) >> 2
+    new_left = jnp.stack([e1, nl1], axis=-1)
+    new_top = jnp.stack([e2, e3 - nl1], axis=-1)
+
+    dct = dct.at[..., 0].set(jnp.stack([dc0, dc1, dc2, dc3], axis=-1))
+    lv = _quant_zz(dct, P.uv_iq, P.uv_bias)
+    rec = _clip255(pred + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, P.uv_q))))
+    return lv, rec, new_top, new_left
+
+
+# ---------------------------------------------------------------------------
+# Scan driver
+# ---------------------------------------------------------------------------
+
+
+def enc_init_state(mbh: int, batch: int):
+    R, B = mbh, batch
+    return dict(
+        rbot_y=jnp.full((3, R, B, 16), 127, jnp.int32),
+        rbot_c=jnp.full((3, R, B, 2, 8), 127, jnp.int32),
+        rbpred=jnp.zeros((3, R, B, 4), jnp.int32),
+        rderr=jnp.zeros((3, R, B, 2, 2), jnp.int32),
+        left_y=jnp.full((R, B, 16), 129, jnp.int32),
+        left_c=jnp.full((R, B, 2, 8), 129, jnp.int32),
+        left_bpred=jnp.zeros((R, B, 4), jnp.int32),
+        left_derr=jnp.zeros((R, B, 2, 2), jnp.int32),
+    )
+
+
+def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int):
+    """One lane-aligned encoder wavefront step.
+
+    src [R,B,16,16] int32 luma source of MB (t-2r, r); src_c [R,B,2,8,8].
+    Returns (new_state, outputs) with outputs matching the v1 kernel.
+    """
+    R, B = src.shape[:2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    x = t - 2 * rows
+    at_x0 = x == 0
+    at_y0 = rows == 0
+    at_right = x == mbw - 1
+
+    s0 = t % 3
+    s1 = (t + 2) % 3
+    s2 = (t + 1) % 3
+
+    # Luma borders (identical rules to the decoder: wavefront2.recon_step).
+    a16 = _shift_down_rows(ring_read(state["rbot_y"], s2))
+    tr4 = _shift_down_rows(ring_read(state["rbot_y"], s1))[..., :4]
+    tl = _shift_down_rows(ring_read(state["rbot_y"], s0))[..., 15]
+    tr4 = jnp.where(at_right[..., None], a16[..., 15:16], tr4)
+    a16 = jnp.where(at_y0[..., None], 127, a16)
+    tr4 = jnp.where(at_y0[..., None], 127, tr4)
+    tl = jnp.where(at_y0, 127, jnp.where(at_x0, 129, tl))
+    left16 = jnp.where(at_x0[..., None], 129, state["left_y"])
+
+    has_above = ~at_y0 & jnp.ones((R, B), bool)
+    has_left = ~at_x0 & jnp.ones((R, B), bool)
+
+    # Neighbor bpred modes / chroma diffusion errors.
+    tb0 = jnp.where(
+        at_y0[..., None], 0, _shift_down_rows(ring_read(state["rbpred"], s2))
+    )
+    lb0 = jnp.where(at_x0[..., None], 0, state["left_bpred"])
+    tde = jnp.where(
+        at_y0[..., None, None], 0, _shift_down_rows(ring_read(state["rderr"], s2))
+    )
+    lde = jnp.where(at_x0[..., None, None], 0, state["left_derr"])
+
+    # --- luma decision -------------------------------------------------------
+    i16_mode, i16_score, i16_y2, i16_y, i16_rec = _i16_search_v2(
+        a16, left16, tl, src, has_above, has_left, P, tbl
+    )
+    if n_try > 0:
+        ok, i4_modes, i4_levels, i4_rec, tb4, lb4 = _i4_search_v2(
+            a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try, P, tbl
+        )
+    else:
+        ok = jnp.zeros((R, B), bool)
+        i4_modes = jnp.zeros((R, B, 16), jnp.int32)
+        i4_levels = jnp.zeros((R, B, 16, 16), jnp.int32)
+        i4_rec = i16_rec
+        tb4, lb4 = tb0, lb0
+
+    use_i4 = ok
+    luma_rec = jnp.where(use_i4[..., None, None], i4_rec, i16_rec)
+    luma_mode = jnp.where(use_i4, 4, i16_mode)
+    bmode = jnp.asarray([0, 2, 3, 1], jnp.int32)[i16_mode]  # [R,B]
+    bpred_out = jnp.where(
+        use_i4[..., None],
+        i4_modes,
+        jnp.zeros((R, B, 16), jnp.int32).at[..., 12:].set(bmode[..., None]),
+    )
+    new_tb = jnp.where(use_i4[..., None], tb4, bmode[..., None])
+    new_lb = jnp.where(use_i4[..., None], lb4, bmode[..., None])
+    y_levels = jnp.where(use_i4[..., None, None], i4_levels, i16_y)
+    y2_levels = jnp.where(use_i4[..., None], 0, i16_y2)
+
+    # --- chroma decision ------------------------------------------------------
+    a8 = _shift_down_rows(ring_read(state["rbot_c"], s2))
+    tlc = _shift_down_rows(ring_read(state["rbot_c"], s0))[..., 7]
+    a8 = jnp.where(at_y0[..., None, None], 127, a8)
+    tlc = jnp.where(at_y0[..., None], 127, jnp.where(at_x0[..., None], 129, tlc))
+    left8 = jnp.where(at_x0[..., None, None], 129, state["left_c"])
+
+    uv_mode, uv_dct, uv_pred = _uv_search_v2(
+        a8, left8, tlc, src_c, has_above, has_left, P, tbl
+    )
+    uv_lv, uv_rec, new_tde, new_lde = _chroma_diffusion_v2(
+        uv_dct, uv_pred, P, tde, lde
+    )
+
+    new_state = dict(
+        rbot_y=ring_write(state["rbot_y"], s0, luma_rec[..., 15, :]),
+        rbot_c=ring_write(state["rbot_c"], s0, uv_rec[..., 7, :]),
+        rbpred=ring_write(state["rbpred"], s0, new_tb),
+        rderr=ring_write(state["rderr"], s0, new_tde),
+        left_y=luma_rec[..., :, 15],
+        left_c=uv_rec[..., :, 7],
+        left_bpred=new_lb,
+        left_derr=new_lde,
+    )
+    outs = (
+        luma_mode,
+        uv_mode,
+        bpred_out,
+        y_levels,
+        y2_levels,
+        uv_lv.reshape(R, B, 8, 16),
+    )
+    return new_state, outs
+
+
+def _mb_tiles(plane, mb: int):
+    """[B, H, W] -> [B, nmb, mb, mb] per-MB tiles (H, W multiples of mb)."""
+    Bn, H, W = plane.shape
+    mh, mw = H // mb, W // mb
+    return (
+        plane.reshape(Bn, mh, mb, mw, mb)
+        .swapaxes(2, 3)
+        .reshape(Bn, mh * mw, mb, mb)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try"))
+def encode_analysis_batch_v2(
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int
+):
+    """Batched lane-aligned RD analysis: [B, ...] planes -> per-MB decisions.
+
+    Output dict matches `encode_wavefront.encode_analysis_batch`: luma_mode,
+    chroma_mode [B,nmb], bpred [B,nmb,16], y_levels [B,nmb,16,16],
+    y2_levels [B,nmb,16], uv_levels [B,nmb,8,16] (int16 levels / uint8 modes
+    to keep the device->host transfer small).
+    """
+    P, tbl = params_tree, tables_tree
+    Bn = ybufs.shape[0]
+    T_, idx = make_schedule_gather(mbw, mbh)
+
+    y_mb = _mb_tiles(ybufs.astype(jnp.int32), 16)
+    u_mb = _mb_tiles(ubufs.astype(jnp.int32), 8)
+    v_mb = _mb_tiles(vbufs.astype(jnp.int32), 8)
+    src_s = schedule_mb_data(y_mb, idx)  # [T,R,B,16,16]
+    srcc_s = jnp.stack(
+        [schedule_mb_data(u_mb, idx), schedule_mb_data(v_mb, idx)], axis=3
+    )  # [T,R,B,2,8,8]
+
+    state = enc_init_state(mbh, Bn)
+
+    def step(state, inp):
+        t, src, src_c = inp
+        return enc_step(state, t, src, src_c, P, tbl, mbw, n_try)
+
+    _, outs = jax.lax.scan(step, state, (jnp.arange(T_), src_s, srcc_s))
+    lmode, cmode, bp, ylv, y2lv, uvlv = outs
+
+    # Inverse schedule: MB (x, y) was produced at step x + 2y, row y.
+    t_idx = jnp.asarray(
+        (np.arange(mbw)[None, :] + 2 * np.arange(mbh)[:, None]).astype(np.int32)
+    )
+    r_idx = jnp.arange(mbh)[:, None]
+
+    def unsched(a, dtype):
+        g = a[t_idx, r_idx]  # [mbh, mbw, B, ...]
+        return jnp.moveaxis(g.reshape(mbh * mbw, *g.shape[2:]), 1, 0).astype(dtype)
+
+    return dict(
+        luma_mode=unsched(lmode, jnp.uint8),
+        chroma_mode=unsched(cmode, jnp.uint8),
+        bpred=unsched(bp, jnp.uint8),
+        y_levels=unsched(ylv, jnp.int16),
+        y2_levels=unsched(y2lv, jnp.int16),
+        uv_levels=unsched(uvlv, jnp.int16),
+    )
