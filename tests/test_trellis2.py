@@ -1,0 +1,66 @@
+"""Device trellis DP must match the host int64 implementation bit-exactly."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from webp_tpu.common import vp8_tables as T
+from webp_tpu.encode import costs as C
+from webp_tpu.encode.quant import SegmentParams, quality_to_quant_index
+from webp_tpu.encode.trellis import trellis_quantize
+from webp_tpu.ops.encode_wavefront import EncTables
+from webp_tpu.ops.trellis2 import trellis_par
+
+ZZ = np.asarray(T.ZIGZAG)
+
+
+def _zzvec(mtx, attr):
+    v = np.empty(16, np.int64)
+    v[:] = getattr(mtx, attr)[1]
+    v[0] = getattr(mtx, attr)[0]
+    return v
+
+
+@pytest.mark.parametrize("unroll", [False, True])
+@pytest.mark.parametrize("q", [10, 75])
+@pytest.mark.parametrize("ctype,first,lam_attr,mtx_attr", [
+    (0, 1, "lambda_trellis_i16", "y1"),
+    (3, 0, "lambda_trellis_i4", "y1"),
+    (2, 0, "lambda_trellis_i4", "uv"),
+])
+def test_trellis_par_matches_host(q, ctype, first, lam_attr, mtx_attr, unroll):
+    qi = quality_to_quant_index(q)
+    seg = SegmentParams(qi)
+    mtx = getattr(seg, mtx_attr)
+    lam = getattr(seg, lam_attr)
+    lc = C.cached_level_costs(T.COEFF_PROBS_DEFAULT)
+    tbl = EncTables.default()
+
+    rng = np.random.RandomState(hash((q, ctype)) & 0xFFFF)
+    N = 96
+    blocks = []
+    for mag in (2, 12, 120, 1500, 12000):
+        b = rng.randint(-mag, mag + 1, (N // 6, 16))
+        b[rng.rand(*b.shape) < 0.4] = 0
+        blocks.append(b)
+    blocks.append(np.zeros((N - 5 * (N // 6), 16), np.int64))
+    coeffs = np.concatenate(blocks).astype(np.int32)
+    ctx0 = rng.randint(0, 3, len(coeffs))
+
+    want_lv, want_nz = trellis_quantize(
+        coeffs.astype(np.int64), mtx, lam, first, lc, ctype, ctx0
+    )
+
+    got_lv, got_nz = trellis_par(
+        jnp.asarray(coeffs),
+        jnp.asarray(_zzvec(mtx, "q").astype(np.int32)),
+        jnp.asarray(_zzvec(mtx, "iq").astype(np.int32)),
+        jnp.asarray(mtx.sharpen[ZZ].astype(np.int32)),
+        int(lam), ctype, first, jnp.asarray(ctx0.astype(np.int32)),
+        tbl.cls_cost[ctype], tbl.eob_cost[ctype], tbl.init_cost[ctype],
+        unroll=unroll,
+    )
+    np.testing.assert_array_equal(np.asarray(got_lv), want_lv)
+    np.testing.assert_array_equal(np.asarray(got_nz), want_nz)

@@ -141,31 +141,50 @@ def decode_vp8_batch_device(payloads, device_out: bool = False):
     """Decode same-geometry VP8 chunks as one batched device call -> RGB [B,...].
 
     Fast path: the C++ levels-mode entropy pass writes int16 raw levels
-    directly into two preallocated packed batch buffers (no per-image
-    np.stack copies and only two host->device transfers — both host memory
-    bandwidth and transfer latency are scarce), and the device does
-    dequantization, the Y2 inverse WHT + DC fold, IDCT, wavefront
-    reconstruction, loop filtering and color conversion in one jit call.
+    directly into preallocated packed batch buffers (no per-image np.stack
+    copies), the parse pool narrows them to int8 + a per-image escape list
+    (levels outside int8 range are rare; the upload tunnel is the scarce
+    resource), and the device does the escape scatter, dequantization, the
+    Y2 inverse WHT + DC fold, IDCT, wavefront reconstruction, loop filtering
+    and color conversion in one jit call.
 
     device_out=True returns the device-resident jax array (the TPU-native
     consumption model: downstream stages read the pixels on-device).
+    """
+    rgb = dispatch_decode_batch(payloads)
+    return rgb if device_out else np.asarray(rgb)
+
+
+def dispatch_decode_batch(payloads):
+    """Parse + upload + launch the batched decode; returns the device array.
+
+    Split from `decode_vp8_batch_device` so callers can pipeline: the
+    returned array is async — fetch it (np.asarray) only after dispatching
+    the next batch's work.
     """
     from ..io import native
 
     if not native.available():  # pragma: no cover - fallback host path
         rgbs = [decode_vp8_frame_device(p)[1] for p in payloads]
-        return np.stack(rgbs)
+        return jnp.asarray(np.stack(rgbs))
 
     batch = parse_levels_batch(payloads)
     backend = _decode_backend()
     h0 = batch["headers"][0]
-    rgb = _device_decode_levels(
-        jnp.asarray(batch["i16buf"]),
-        jnp.asarray(batch["u8buf"]),
-        int(h0[2]), int(h0[3]), bool(h0[4]), int(h0[0]), int(h0[1]),
-        backend,
+    geo = (int(h0[2]), int(h0[3]), bool(h0[4]), int(h0[0]), int(h0[1]))
+    if batch["i8buf"] is not None:
+        return _device_decode_levels8(
+            jnp.asarray(batch["i8buf"]),
+            jnp.asarray(batch["esc_pos"]),
+            jnp.asarray(batch["esc_val"]),
+            jnp.asarray(batch["qtab"]),
+            jnp.asarray(batch["u8buf"]),
+            *geo,
+            backend,
+        )
+    return _device_decode_levels(  # pragma: no cover - escape overflow
+        jnp.asarray(batch["i16buf"]), jnp.asarray(batch["u8buf"]), *geo, backend
     )
-    return rgb if device_out else np.asarray(rgb)
 
 
 _PARSE_POOL = None
@@ -231,12 +250,18 @@ def _u8_fields(nmb):
     return out, off
 
 
+N_ESC_DEC = 4096  # per-image escape budget for the int8 upload format
+
+
 def parse_levels_batch(payloads):
     """Run the C++ levels-mode entropy pass over a same-geometry batch.
 
-    Writes into two packed batch buffers (i16buf [B, nmb*400 + 1600]:
-    levels then qtab; u8buf [B, nmb*24]: modes/flags/filter params) so the
-    device upload is exactly two transfers and the host never re-copies.
+    Writes into packed batch buffers (i16buf [B, nmb*400 + 1600]: levels
+    then qtab; u8buf [B, nmb*24]: modes/flags/filter params) so the host
+    never re-copies, then narrows the levels to int8 + a per-image escape
+    list (the upload tunnel is the scarce resource; levels outside int8
+    range are rare).  `i8buf` is None when any image overflows the escape
+    budget — the caller uploads the int16 buffer instead.
     """
     from ..io import native
 
@@ -246,6 +271,11 @@ def parse_levels_batch(payloads):
     nmb = mbw * mbh
 
     i16buf = np.zeros((B, nmb * 400 + 4 * 400), np.int16)
+    i8buf = np.zeros((B, nmb * 400), np.int8)
+    # Unused escape slots point one past the end -> dropped by the scatter.
+    esc_pos = np.full((B, N_ESC_DEC), nmb * 400, np.int32)
+    esc_val = np.zeros((B, N_ESC_DEC), np.int16)
+    overflow = np.zeros(B, bool)
     fields, u8_row = _u8_fields(nmb)
     u8buf = np.zeros((B, u8_row), np.uint8)
     headers = np.zeros((B, 16), np.int32)
@@ -283,9 +313,27 @@ def parse_levels_batch(payloads):
         view8(b, "level")[:] = lv
         view8(b, "interior")[:] = it
         view8(b, "hev")[:] = hv
+        i8buf[b] = np.clip(levels, -128, 127).astype(np.int8)
+        big = np.flatnonzero(np.abs(levels) > 127)
+        if len(big) > N_ESC_DEC:
+            overflow[b] = True
+        else:
+            esc_pos[b, : len(big)] = big
+            esc_val[b, : len(big)] = levels[big]
 
     list(_parse_pool().map(one, range(B)))
-    return dict(i16buf=i16buf, u8buf=u8buf, headers=headers, segs=segs)
+    qtab_all = i16buf[:, nmb * 400 :].copy()
+    any_over = bool(overflow.any())
+    return dict(
+        i16buf=i16buf,
+        i8buf=None if any_over else i8buf,
+        esc_pos=esc_pos,
+        esc_val=esc_val,
+        qtab=qtab_all,
+        u8buf=u8buf,
+        headers=headers,
+        segs=segs,
+    )
 
 
 def native_parse_dims(payload):
@@ -310,16 +358,41 @@ def _device_decode_levels(
     i16buf, u8buf,
     mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
 ):
-    """Packed buffers -> RGB: dequant, Y2 IWHT+fold, IDCT, recon, filter.
+    """Packed int16 buffers -> RGB (escape-overflow fallback path)."""
+    B = i16buf.shape[0]
+    nmb = mbw * mbh
+    levels = i16buf[:, : nmb * 400].reshape(B, nmb, 25, 16)
+    qtab = i16buf[:, nmb * 400 :]
+    return _decode_core(levels, qtab, u8buf, mbw, mbh, simple, width, height, backend)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
+def _device_decode_levels8(
+    i8buf, esc_pos, esc_val, qtab, u8buf,
+    mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+):
+    """Packed int8 levels + escape list -> RGB (the upload fast path)."""
+    B = i8buf.shape[0]
+    nmb = mbw * mbh
+    lv = i8buf.astype(jnp.int16)
+    lv = lv.at[jnp.arange(B)[:, None], esc_pos].set(esc_val, mode="drop")
+    levels = lv.reshape(B, nmb, 25, 16)
+    return _decode_core(levels, qtab, u8buf, mbw, mbh, simple, width, height, backend)
+
+
+def _decode_core(
+    levels, qtab_i16, u8buf,
+    mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+):
+    """Levels + quant tables -> RGB: dequant, Y2 IWHT+fold, IDCT, recon, filter.
 
     The DC-only IDCT identity (full IDCT of an AC-free block == the
     (dc+4)>>3 shortcut) lets this path run the full IDCT unconditionally,
     so has_ac never needs to leave the device.
     """
-    B = i16buf.shape[0]
+    B = levels.shape[0]
     nmb = mbw * mbh
-    levels = i16buf[:, : nmb * 400].reshape(B, nmb, 25, 16)
-    qtab = i16buf[:, nmb * 400 :].reshape(B, 4, 25, 16).astype(jnp.int32)
+    qtab = qtab_i16.reshape(B, 4, 25, 16).astype(jnp.int32)
     fields, _ = _u8_fields(nmb)
 
     def f8(name):

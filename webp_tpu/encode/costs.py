@@ -61,31 +61,57 @@ def cached_level_costs(probs: np.ndarray) -> "LevelCosts":
     return hit
 
 
+# Static decomposition of the per-level variable cost: cost(v >= 1) =
+# sum_i A1[v-1, i] * bitcost(1, p[i+2]) + A0[v-1, i] * bitcost(0, p[i+2]),
+# where the 0/1 masks come from VP8_LEVEL_CODES' (pattern, bits) pairs.
+def _build_level_code_masks():
+    a1 = np.zeros((MAX_VARIABLE_LEVEL, 9), np.int64)
+    a0 = np.zeros((MAX_VARIABLE_LEVEL, 9), np.int64)
+    for idx in range(MAX_VARIABLE_LEVEL):
+        pattern = int(ET.VP8_LEVEL_CODES[idx, 0])
+        bits = int(ET.VP8_LEVEL_CODES[idx, 1])
+        i = 0
+        while pattern:
+            if pattern & 1:
+                (a1 if bits & 1 else a0)[idx, i] = 1
+            bits >>= 1
+            pattern >>= 1
+            i += 1
+    return a1, a0
+
+
+_LC_A1, _LC_A0 = _build_level_code_masks()
+
+
 class LevelCosts:
-    """Precomputed cost tables from a token probability set."""
+    """Precomputed cost tables from a token probability set.
+
+    Fully vectorized (one einsum over the static level-code masks) — the
+    per-(type, band, ctx, level) python loop took ~0.2 s per probability
+    set, which matters when two-pass encoding adapts probabilities per
+    image in a batch.
+    """
 
     def __init__(self, probs: np.ndarray):
         self.probs = probs.astype(np.int64)
-        # level_cost[t][band][ctx][level 0..67]
+        p = self.probs  # [T, B, C, 11]
+        e1 = _ENT[255 - p]  # cost of bit=1 per node
+        e0 = _ENT[p]        # cost of bit=0 per node
+        cost0 = np.zeros((NUM_TYPES, NUM_BANDS, NUM_CTX), np.int64)
+        cost0[:, :, 1:] = e1[:, :, 1:, 0]
+        cost_base = e1[..., 1] + cost0
+
         lc = np.zeros((NUM_TYPES, NUM_BANDS, NUM_CTX, MAX_VARIABLE_LEVEL + 1), np.int64)
-        eob = np.zeros((NUM_TYPES, NUM_BANDS, NUM_CTX), np.int64)
-        init = np.zeros((NUM_TYPES, NUM_BANDS, NUM_CTX), np.int64)
-        for t in range(NUM_TYPES):
-            for b in range(NUM_BANDS):
-                for c in range(NUM_CTX):
-                    p = self.probs[t, b, c]
-                    cost0 = int(bit_cost(True, p[0])) if c > 0 else 0
-                    cost_base = int(bit_cost(True, p[1])) + cost0
-                    lc[t, b, c, 0] = int(bit_cost(False, p[1])) + cost0
-                    for v in range(1, MAX_VARIABLE_LEVEL + 1):
-                        lc[t, b, c, v] = cost_base + _variable_level_cost(v, p)
-                    eob[t, b, c] = bit_cost(False, p[0])
-                    init[t, b, c] = bit_cost(True, p[0])
+        lc[..., 0] = e0[..., 1] + cost0
+        var = np.einsum("vi,tbci->tbcv", _LC_A1, e1[..., 2:]) + np.einsum(
+            "vi,tbci->tbcv", _LC_A0, e0[..., 2:]
+        )
+        lc[..., 1:] = cost_base[..., None] + var
         self.level_cost = lc
         # Position-remapped variable costs [t][pos][ctx][level]
         self.pos_cost = lc[:, _BANDS]
-        self.eob = eob
-        self.init = init
+        self.eob = e0[..., 0]
+        self.init = e1[..., 0]
         # p0 per [t][pos][ctx] for EOB terms.
         self.p0 = self.probs[..., 0][:, _BANDS, :]
         self.fixed = ET.VP8_LEVEL_FIXED_COSTS.astype(np.int64)

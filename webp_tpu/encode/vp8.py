@@ -192,7 +192,7 @@ class Vp8Encoder:
                 jnp.asarray(self.ybuf)[None], jnp.asarray(self.ubuf)[None],
                 jnp.asarray(self.vbuf)[None],
                 EncParams(self.seg), EncTables.from_level_costs(self.level_costs),
-                self.mbw, self.mbh, n_try,
+                self.mbw, self.mbh, n_try, self.method >= 4,
             )
             arrays = {k: np.asarray(v[0]).astype(np.int32) for k, v in out.items()}
             # Device path leaves y2 zeroed for B MBs already.
@@ -253,36 +253,7 @@ class Vp8Encoder:
 
     def _token_stream(self, arrays, ctx):
         """Assemble (levels [N,16], meta [N,4]) in bitstream block order."""
-        nmb = self.mbw * self.mbh
-        has_y2 = ctx["has_y2"]
-        act = ~arrays["skipped"]
-
-        all_levels = np.concatenate(
-            [arrays["y2_levels"][:, None, :], arrays["y_levels"], arrays["uv_levels"]],
-            axis=1,
-        )  # [nmb, 25, 16]
-        plane = np.zeros((nmb, 25), np.int32)
-        plane[:, 0] = 1
-        plane[:, 1:17] = np.where(has_y2, 0, 3)[:, None]
-        plane[:, 17:] = 2
-        first = np.zeros((nmb, 25), np.int32)
-        first[:, 1:17] = np.where(has_y2, 1, 0)[:, None]
-        ctxs = np.concatenate(
-            [ctx["y2_ctx"][:, None], ctx["y_ctx"], ctx["uv_ctx"]], axis=1
-        ).astype(np.int32)
-        valid = np.ones((nmb, 25), bool)
-        valid[:, 0] = has_y2
-        valid &= act[:, None]
-
-        sel = valid.reshape(-1)
-        mby = np.repeat(np.arange(nmb, dtype=np.int32) // self.mbw, 25)
-        levels = all_levels.reshape(-1, 16)[sel]
-        meta = np.zeros((len(levels), 4), np.int32)
-        meta[:, 0] = plane.reshape(-1)[sel]
-        meta[:, 1] = first.reshape(-1)[sel]
-        meta[:, 2] = ctxs.reshape(-1)[sel]
-        meta[:, 3] = mby[sel]  # MB row, for partition interleaving
-        return levels, meta
+        return token_stream(arrays, ctx, self.mbw, self.mbh)
 
     # -------------------------------------------------- mode decision pass
 
@@ -937,47 +908,218 @@ class Vp8Encoder:
         return bytes(out)
 
 
+def token_stream(arrays, ctx, mbw, mbh):
+    """Assemble (levels [N,16], meta [N,4]) in bitstream block order."""
+    nmb = mbw * mbh
+    has_y2 = ctx["has_y2"]
+    act = ~arrays["skipped"]
+
+    all_levels = np.concatenate(
+        [arrays["y2_levels"][:, None, :], arrays["y_levels"], arrays["uv_levels"]],
+        axis=1,
+    )  # [nmb, 25, 16]
+    plane = np.zeros((nmb, 25), np.int32)
+    plane[:, 0] = 1
+    plane[:, 1:17] = np.where(has_y2, 0, 3)[:, None]
+    plane[:, 17:] = 2
+    first = np.zeros((nmb, 25), np.int32)
+    first[:, 1:17] = np.where(has_y2, 1, 0)[:, None]
+    ctxs = np.concatenate(
+        [ctx["y2_ctx"][:, None], ctx["y_ctx"], ctx["uv_ctx"]], axis=1
+    ).astype(np.int32)
+    valid = np.ones((nmb, 25), bool)
+    valid[:, 0] = has_y2
+    valid &= act[:, None]
+
+    sel = valid.reshape(-1)
+    mby = np.repeat(np.arange(nmb, dtype=np.int32) // mbw, 25)
+    levels = all_levels.reshape(-1, 16)[sel]
+    meta = np.zeros((len(levels), 4), np.int32)
+    meta[:, 0] = plane.reshape(-1)[sel]
+    meta[:, 1] = first.reshape(-1)[sel]
+    meta[:, 2] = ctxs.reshape(-1)[sel]
+    meta[:, 3] = mby[sel]  # MB row, for partition interleaving
+    return levels, meta
+
+
+def derive_skip_and_contexts(arrays, mbw, mbh):
+    """Per-MB skip flags + token contexts for an analysis-arrays dict."""
+    from .contexts import compute_contexts
+
+    skipped = (
+        (arrays["y_levels"] == 0).all(axis=(1, 2))
+        & (arrays["uv_levels"] == 0).all(axis=(1, 2))
+        & (arrays["y2_levels"] == 0).all(axis=1)
+    )
+    arrays["skipped"] = skipped
+    return compute_contexts(
+        arrays["luma_mode"], arrays["y2_levels"], arrays["y_levels"],
+        arrays["uv_levels"], skipped, mbw, mbh,
+    )
+
+
+def adapted_probs_for(arrays, mbw, mbh):
+    """Pass-1 probability adaptation from an analysis-arrays dict
+    (mirrors Vp8Encoder's stats pass; reference vp8.rs:1317-1410)."""
+    ctx = derive_skip_and_contexts(arrays, mbw, mbh)
+    stats = C.ProbaStats()
+    levels, meta = token_stream(arrays, ctx, mbw, mbh)
+    done = False
+    try:
+        from ..io import native
+
+        if native.available():
+            totals, ones = native.vp8_token_stats(levels, meta)
+            stats.total += totals
+            stats.ones += ones
+            done = True
+    except Exception:
+        done = False
+    if not done:  # pragma: no cover - python fallback
+        for lv, m in zip(levels, meta):
+            stats.record_blocks(lv[None], int(m[0]), int(m[1]), [int(m[2])])
+    return stats.updated_probs(T.COEFF_PROBS_DEFAULT.copy())
+
+
 def encode_frame_lossy(rgb: np.ndarray, quality: int = 75, method: int = 4) -> bytes:
     return Vp8Encoder(quality, method).encode(rgb)
 
 
-def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4) -> list:
-    """Encode same-geometry RGB frames with one batched device analysis call.
+_HOST_POOL = None
 
-    The wavefront RD search runs as a single vmapped kernel over the batch;
-    probability adaptation, contexts, and entropy coding finish per image on
-    the host. Returns a list of VP8 payloads.
+
+def _host_pool():
+    global _HOST_POOL
+    if _HOST_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _HOST_POOL = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
+    return _HOST_POOL
+
+
+def _fetch_packed(packed, planes, fallback):
+    from ..ops.encode_wavefront2 import unpack_analysis
+
+    lv8, meta8, esc_pos, esc_val, overflow = (np.asarray(a) for a in packed)
+    if overflow.any():  # pragma: no cover - >N_ESC escapes in one MB
+        return fallback()
+    return list(
+        _host_pool().map(
+            lambda i: unpack_analysis(lv8[i], meta8[i], esc_pos[i], esc_val[i]),
+            range(len(planes)),
+        )
+    )
+
+
+def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
+                               two_pass: bool = True):
+    """Dispatch the batched device RD analysis (async; packed transfer).
+
+    Mirrors the reference two-pass flow across a whole batch: pass 1 (no
+    trellis, method<=3 decisions) collects per-image token statistics on the
+    host, probabilities adapt per image, and pass 2 re-decides with each
+    image's own cost tables (+ trellis at method>=4) as one vmapped kernel.
+
+    Returns a zero-arg closure that fetches + unpacks into
+    (per-image array dicts for each pass, per-image adapted probs) — split so
+    a caller can overlap the device work of batch i+1 with the host entropy
+    coding of batch i.
     """
     import jax.numpy as jnp
 
     from ..ops.encode_wavefront import EncParams, EncTables
-    from ..ops.encode_wavefront2 import encode_analysis_batch_v2
+    from ..ops.encode_wavefront2 import (
+        encode_analysis_batch_v2,
+        encode_analysis_batch_v2_packed,
+        encode_analysis_batch_v2_pertbl_packed,
+        stack_enc_tables,
+    )
+    from . import costs as C
 
-    h, w = rgbs[0].shape[:2]
-    planes = [yuvops.rgb_to_yuv420(im) for im in rgbs]
-    mbw, mbh = (w + 15) // 16, (h + 15) // 16
     qi = quality_to_quant_index(quality)
     seg = SegmentParams(qi)
     n_try = 0 if method <= 1 else (3 if method <= 3 else (4 if method == 4 else 10))
-
-    out = encode_analysis_batch_v2(
-        jnp.asarray(np.stack([p[0] for p in planes])),
-        jnp.asarray(np.stack([p[1] for p in planes])),
-        jnp.asarray(np.stack([p[2] for p in planes])),
-        EncParams(seg),
-        EncTables.default(),
-        mbw,
-        mbh,
-        n_try,
+    n_try1 = min(n_try, 3)
+    Y = jnp.asarray(np.stack([p[0] for p in planes]))
+    U = jnp.asarray(np.stack([p[1] for p in planes]))
+    V = jnp.asarray(np.stack([p[2] for p in planes]))
+    P, TB = EncParams(seg), EncTables.default()
+    packed1 = encode_analysis_batch_v2_packed(
+        Y, U, V, P, TB, mbw, mbh, n_try1, False if two_pass else method >= 4
     )
-    out = {k: np.asarray(v).astype(np.int32) for k, v in out.items()}
 
-    results = []
-    for i, (y, u, v) in enumerate(planes):
-        # Throughput path: one analysis pass; tokens are still coded with the
-        # probabilities adapted from that pass's statistics.
-        enc = Vp8Encoder(quality, method, backend="device", two_pass=False)
-        arrays = {k: out[k][i] for k in out}
-        enc._analysis_arrays = lambda a=arrays: a
-        results.append(enc.encode_yuv(y, u, v, w, h))
-    return results
+    def fallback1():
+        out = encode_analysis_batch_v2(
+            Y, U, V, P, TB, mbw, mbh, n_try1, False if two_pass else method >= 4
+        )
+        out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
+        return [{k: out[k][i] for k in out} for i in range(len(planes))]
+
+    if not two_pass:
+        return lambda: (_fetch_packed(packed1, planes, fallback1), None, None)
+
+    def fetch():
+        arrays1 = _fetch_packed(packed1, planes, fallback1)
+        probs = list(
+            _host_pool().map(
+                lambda a: adapted_probs_for(dict(a), mbw, mbh), arrays1
+            )
+        )
+        tables = stack_enc_tables(
+            [EncTables.from_level_costs(C.cached_level_costs(p)) for p in probs]
+        )
+        packed2 = encode_analysis_batch_v2_pertbl_packed(
+            Y, U, V, P, tables, mbw, mbh, n_try, method >= 4
+        )
+
+        def fallback2():  # pragma: no cover - escape overflow
+            outs = []
+            for i, p in enumerate(probs):
+                out = encode_analysis_batch_v2(
+                    Y[i : i + 1], U[i : i + 1], V[i : i + 1], P,
+                    EncTables.from_level_costs(C.cached_level_costs(p)),
+                    mbw, mbh, n_try, method >= 4,
+                )
+                outs.append({k: np.asarray(a[0]).astype(np.int32) for k, a in out.items()})
+            return outs
+
+        arrays2 = _fetch_packed(packed2, planes, fallback2)
+        return arrays1, arrays2, probs
+
+    return fetch
+
+
+def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
+                              two_pass: bool = True) -> list:
+    """Encode same-geometry RGB frames with batched device analysis.
+
+    The wavefront RD search runs as batched kernels (two-pass probability
+    adaptation by default, matching `Vp8Encoder`); contexts and entropy
+    coding finish per image on the host (thread pool). Returns VP8 payloads.
+    """
+    h, w = rgbs[0].shape[:2]
+    planes = list(_host_pool().map(yuvops.rgb_to_yuv420, rgbs))
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    fetched = analyze_frames_lossy_batch(planes, quality, method, mbw, mbh, two_pass)()
+    return finish_frames_lossy_batch(planes, fetched, quality, method, w, h)
+
+
+def finish_frames_lossy_batch(planes, fetched, quality, method, w, h) -> list:
+    """Host half of the batched encode: stats, probs, contexts, entropy.
+
+    `fetched` is (arrays1, arrays2, probs) from analyze_frames_lossy_batch:
+    feeding arrays1 then arrays2 through Vp8Encoder.encode_yuv's two
+    _analysis_arrays calls reproduces the single-image two-pass flow
+    exactly (stats from pass 1, decisions and tokens from pass 2)."""
+    arrays1, arrays2, _probs = fetched
+
+    def one(i):
+        two_pass = arrays2 is not None
+        enc = Vp8Encoder(quality, method, backend="device", two_pass=two_pass)
+        y, u, v = planes[i]
+        seq = iter([arrays1[i], arrays2[i]] if two_pass else [arrays1[i]])
+        enc._analysis_arrays = lambda: dict(next(seq))
+        return enc.encode_yuv(y, u, v, w, h)
+
+    return list(_host_pool().map(one, range(len(planes))))

@@ -33,14 +33,19 @@ from . import jax_ops
 BIG = jnp.int32(1 << 30)  # sentinel / saturation score (int32 lanes)
 
 
-def _rd_score32(rate, disto, lam: int):
+def _rd_score32(rate, disto, lam):
     """floor(rate*lam / 256) + disto in pure int32 via hi/lo split.
 
     Exact for rate*lam < 2^38 (hi = rate>>8 capped so hi*lam stays in int32;
     beyond that the score saturates, which only affects absurd candidates).
+    `lam` may be a python int or a broadcastable int32 array (per-segment
+    lambdas in the v2 kernel).
     """
-    lam = int(lam)
-    cap = (1 << 30) // max(lam, 1)
+    if isinstance(lam, (int, np.integer)):
+        lam = int(lam)
+        cap = (1 << 30) // max(lam, 1)
+    else:
+        cap = (1 << 30) // jnp.maximum(lam, 1)
     hi = jnp.minimum(rate >> 8, cap)
     lo = rate & 255
     return hi * lam + ((lo * lam) >> 8) + disto
@@ -101,6 +106,8 @@ class EncParams:
     """Per-call quantizer/lambda arrays for one segment."""
 
     def __init__(self, seg):
+        from ..common import vp8_tables as _T
+
         def zzvec(m, attr):
             v = np.empty(16, np.int32)
             v[:] = getattr(m, attr)[1]
@@ -113,11 +120,15 @@ class EncParams:
             zzvec(seg.y2, "iq"), zzvec(seg.y2, "bias"), zzvec(seg.y2, "q"))
         self.uv_iq, self.uv_bias, self.uv_q = (
             zzvec(seg.uv, "iq"), zzvec(seg.uv, "bias"), zzvec(seg.uv, "q"))
+        zz = np.asarray(_T.ZIGZAG)
+        self.y1_sharpen = jnp.asarray(np.asarray(seg.y1.sharpen)[zz].astype(np.int32))
         self.lambda_i16 = seg.lambda_i16
         self.lambda_i4 = seg.lambda_i4
         self.lambda_uv = seg.lambda_uv
         self.lambda_mode = seg.lambda_mode
         self.tlambda = seg.tlambda
+        self.lambda_trellis_i16 = seg.lambda_trellis_i16
+        self.lambda_trellis_i4 = seg.lambda_trellis_i4
 
 
 def _bit_cost(tbl, bit_true, prob):
@@ -568,9 +579,10 @@ jax.tree_util.register_pytree_node(
     lambda p: (
         (
             p.y1_iq, p.y1_bias, p.y1_q, p.y2_iq, p.y2_bias, p.y2_q,
-            p.uv_iq, p.uv_bias, p.uv_q,
+            p.uv_iq, p.uv_bias, p.uv_q, p.y1_sharpen,
         ),
-        (p.lambda_i16, p.lambda_i4, p.lambda_uv, p.lambda_mode, p.tlambda),
+        (p.lambda_i16, p.lambda_i4, p.lambda_uv, p.lambda_mode, p.tlambda,
+         p.lambda_trellis_i16, p.lambda_trellis_i4),
     ),
     lambda aux, leaves: _encparams_unflatten(aux, leaves),
 )
@@ -579,8 +591,9 @@ jax.tree_util.register_pytree_node(
 def _encparams_unflatten(aux, leaves):
     p = EncParams.__new__(EncParams)
     (p.y1_iq, p.y1_bias, p.y1_q, p.y2_iq, p.y2_bias, p.y2_q,
-     p.uv_iq, p.uv_bias, p.uv_q) = leaves
-    (p.lambda_i16, p.lambda_i4, p.lambda_uv, p.lambda_mode, p.tlambda) = aux
+     p.uv_iq, p.uv_bias, p.uv_q, p.y1_sharpen) = leaves
+    (p.lambda_i16, p.lambda_i4, p.lambda_uv, p.lambda_mode, p.tlambda,
+     p.lambda_trellis_i16, p.lambda_trellis_i4) = aux
     return p
 
 

@@ -315,7 +315,7 @@ def _i16_search_v2(a16, left16, tl, src, has_above, has_left, P, tbl):
     """All-mode I16 search. src [R,B,16,16] int32.
 
     Returns (mode [R,B], i16_score_at_lambda_mode, y2_lv [R,B,16],
-    y_lv [R,B,16,16], rec [R,B,16,16]).
+    y_lv [R,B,16,16], rec [R,B,16,16], dct [R,B,16,16], pred [R,B,16,16]).
     """
     R, B = src.shape[:2]
     pred4 = _whole_pred_all4(a16, left16, tl, has_above, has_left, 16)
@@ -361,7 +361,142 @@ def _i16_search_v2(a16, left16, tl, src, has_above, has_left, P, tbl):
         _pick_mode(y2_lv, best, 4),
         _pick_mode(y_lv, best, 4),
         _pick_mode(rec, best, 4),
+        _pick_mode(dct, best, 4),
+        _pick_mode(pred4, best, 4),
     )
+
+
+def _i16_trellis_v2(dct, y2_lv, pred, top_cy, left_cy, P, tbl):
+    """Trellis-requantize the 16 Y blocks of I16 MBs with exact contexts.
+
+    Intra-MB context dependencies (block (x,y) needs the nnz of (x-1,y) and
+    (x,y-1)) are handled by speculation: the DP runs for all 3 possible
+    initial contexts at once ([R,B,16,3] lanes), then a 16-step select chain
+    resolves the real context per block — mirroring `_trellis_i16`'s 7
+    diagonal batches in webp_tpu.encode.vp8 without any added sequencing.
+
+    Returns (levels [R,B,16,16], rec [R,B,16,16], nnz [R,B,16] 0/1).
+    """
+    from .trellis2 import trellis_par
+
+    R, B = dct.shape[:2]
+    ctx3 = jnp.arange(3, dtype=jnp.int32).reshape(1, 1, 1, 3)
+    lv3, nz3 = trellis_par(
+        jnp.broadcast_to(dct[:, :, :, None, :], (R, B, 16, 3, 16)),
+        P.y1_q, P.y1_iq, P.y1_sharpen, P.lambda_trellis_i16, 0, 1,
+        jnp.broadcast_to(ctx3, (R, B, 16, 3)),
+        tbl.cls_cost[0], tbl.eob_cost[0], tbl.init_cost[0],
+        unroll=True,
+    )
+    nz3 = nz3.astype(jnp.int32)
+
+    levels = [None] * 16
+    nnz = [[None] * 4 for _ in range(4)]
+    for y in range(4):
+        for x in range(4):
+            bi = y * 4 + x
+            top = top_cy[..., x] if y == 0 else nnz[y - 1][x]
+            left = left_cy[..., y] if x == 0 else nnz[y][x - 1]
+            ctx = top + left  # [R,B] in 0..2
+            cb = ctx[..., None]
+            levels[bi] = jnp.where(
+                cb == 0,
+                lv3[:, :, bi, 0],
+                jnp.where(cb == 1, lv3[:, :, bi, 1], lv3[:, :, bi, 2]),
+            )
+            nnz[y][x] = jnp.where(
+                ctx == 0,
+                nz3[:, :, bi, 0],
+                jnp.where(ctx == 1, nz3[:, :, bi, 1], nz3[:, :, bi, 2]),
+            )
+    y_lv = jnp.stack(levels, axis=2)  # [R,B,16,16]
+
+    y2_r = jax_ops.iwht4x4(_dequant_zz(y2_lv, P.y2_q))
+    blk = _dequant_zz(y_lv, P.y1_q).at[..., 0].set(y2_r)
+    rec = _clip255(pred + _spatial16(jax_ops.idct4x4(blk)))
+    nnz_flat = jnp.stack([nnz[i // 4][i % 4] for i in range(16)], axis=-1)
+    return y_lv, rec, nnz_flat
+
+
+def _i4_trellis_v2(a16, tr4, tl, left16, src, modes, top_cy, left_cy, P, tbl):
+    """Re-run the I4 subblock chain with trellis quantization (modes fixed
+    from the RD pick; predictions re-derive from the trellis recon) —
+    mirrors `Vp8Encoder._trellis_i4`.
+
+    The chain runs as a lax.scan over the 16 subblocks with a bordered
+    workspace tensor [R,B,17,21] (uniform dynamic slices — offsets depend
+    only on the scan counter), keeping the compiled graph 1/16th of the
+    statically-unrolled form: with the trellis DP inlined 16x the XLA
+    compile stalls for minutes.
+
+    Returns (levels [R,B,16,16], rec [R,B,16,16], nnz [R,B,16] 0/1).
+    """
+    from .trellis2 import trellis_par
+
+    R, B = src.shape[:2]
+    # Workspace: row 0 = [tl | above 16 | tr 4], col 0 rows 1..16 = left,
+    # with the MB-level TR pixels replicated at rows 4/8/12 (the column-3
+    # subblocks use them for every row — create_border_luma rows 4/8/12).
+    ws = jnp.zeros((R, B, 17, 21), jnp.int32)
+    ws = ws.at[..., 0, :].set(jnp.concatenate([tl[..., None], a16, tr4], axis=-1))
+    ws = ws.at[..., 1:, 0].set(left16)
+    for rr in (4, 8, 12):
+        ws = ws.at[..., rr, 17:21].set(tr4)
+
+    # nnz grid with neighbor-MB context halo: ext[r+1, c+1] = nnz(r, c),
+    # ext[0, 1:] = top contexts, ext[1:, 0] = left contexts.
+    nnz_ext = jnp.zeros((R, B, 5, 5), jnp.int32)
+    nnz_ext = nnz_ext.at[..., 0, 1:].set(top_cy)
+    nnz_ext = nnz_ext.at[..., 1:, 0].set(left_cy)
+
+    src_x = jnp.moveaxis(_blocks16(src), 2, 0)  # [16, R, B, 16]
+    modes_x = jnp.moveaxis(modes, 2, 0)  # [16, R, B]
+
+    def body(carry, x):
+        ws, nnz_ext = carry
+        i, src4, mode_i = x
+        sby, sbx = i // 4, i % 4
+        patch = jax.lax.dynamic_slice(
+            ws, (0, 0, sby * 4, sbx * 4), (R, B, 5, 9)
+        )
+        b13 = jnp.concatenate(
+            [patch[..., 0, 0:1], patch[..., 0, 1:9], patch[..., 1:5, 0]], axis=-1
+        )
+        preds = jnp.dot(
+            b13.reshape(R * B, 13).astype(jnp.float32),
+            _W13,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).reshape(R, B, 160)
+        preds = jnp.clip((preds + _R13) >> 3, 0, 255).reshape(R, B, 10, 16)
+        pred = _pick_mode(preds, mode_i, 10)  # [R,B,16]
+
+        dct = jax_ops.dct4x4(src4 - pred)
+        top = jax.lax.dynamic_slice(nnz_ext, (0, 0, sby, sbx + 1), (R, B, 1, 1))
+        left = jax.lax.dynamic_slice(nnz_ext, (0, 0, sby + 1, sbx), (R, B, 1, 1))
+        ctx = (top + left)[..., 0, 0]
+        lv, has = trellis_par(
+            dct, P.y1_q, P.y1_iq, P.y1_sharpen, P.lambda_trellis_i4, 3, 0,
+            ctx, tbl.cls_cost[3], tbl.eob_cost[3], tbl.init_cost[3],
+            unroll=True,
+        )
+        rec = _clip255(pred + jax_ops.idct4x4(_dequant_zz(lv, P.y1_q)))
+        ws = jax.lax.dynamic_update_slice(
+            ws, rec.reshape(R, B, 4, 4), (0, 0, sby * 4 + 1, sbx * 4 + 1)
+        )
+        nnz_ext = jax.lax.dynamic_update_slice(
+            nnz_ext,
+            has.astype(jnp.int32)[..., None, None],
+            (0, 0, sby + 1, sbx + 1),
+        )
+        return (ws, nnz_ext), lv
+
+    (ws, nnz_ext), lvs = jax.lax.scan(
+        body, (ws, nnz_ext), (jnp.arange(16, dtype=jnp.int32), src_x, modes_x)
+    )
+    levels = jnp.moveaxis(lvs, 0, 2)  # [R,B,16,16]
+    rec_full = ws[..., 1:, 1:17]
+    nnz_flat = nnz_ext[..., 1:, 1:].reshape(R, B, 16)
+    return levels, rec_full, nnz_flat
 
 
 def _top_ntry_onehots(sse10, n_try: int):
@@ -563,9 +698,9 @@ def _chroma_diffusion_v2(dct, pred, P, top_err, left_err):
 # ---------------------------------------------------------------------------
 
 
-def enc_init_state(mbh: int, batch: int):
+def enc_init_state(mbh: int, batch: int, do_trellis: bool = False):
     R, B = mbh, batch
-    return dict(
+    state = dict(
         rbot_y=jnp.full((3, R, B, 16), 127, jnp.int32),
         rbot_c=jnp.full((3, R, B, 2, 8), 127, jnp.int32),
         rbpred=jnp.zeros((3, R, B, 4), jnp.int32),
@@ -575,13 +710,24 @@ def enc_init_state(mbh: int, batch: int):
         left_bpred=jnp.zeros((R, B, 4), jnp.int32),
         left_derr=jnp.zeros((R, B, 2, 2), jnp.int32),
     )
+    if do_trellis:
+        # Per-block-column Y nnz of the trellis output (the DP's entry
+        # contexts), flowing through the wavefront like the pixel borders.
+        state["rcy"] = jnp.zeros((3, R, B, 4), jnp.int32)
+        state["left_cy"] = jnp.zeros((R, B, 4), jnp.int32)
+    return state
 
 
-def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int):
+def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int,
+             do_trellis: bool = False):
     """One lane-aligned encoder wavefront step.
 
     src [R,B,16,16] int32 luma source of MB (t-2r, r); src_c [R,B,2,8,8].
     Returns (new_state, outputs) with outputs matching the v1 kernel.
+    With do_trellis (method >= 4), the chosen mode's levels are re-quantized
+    by the trellis DP with exact neighbor contexts and the reconstruction
+    (and thus the wavefront's borders) follows the trellis output — the same
+    flow as `Vp8Encoder._analysis_pass` at method >= 4.
     """
     R, B = src.shape[:2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
@@ -618,7 +764,7 @@ def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int):
     lde = jnp.where(at_x0[..., None, None], 0, state["left_derr"])
 
     # --- luma decision -------------------------------------------------------
-    i16_mode, i16_score, i16_y2, i16_y, i16_rec = _i16_search_v2(
+    i16_mode, i16_score, i16_y2, i16_y, i16_rec, i16_dct, i16_pred = _i16_search_v2(
         a16, left16, tl, src, has_above, has_left, P, tbl
     )
     if n_try > 0:
@@ -633,9 +779,23 @@ def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int):
         tb4, lb4 = tb0, lb0
 
     use_i4 = ok
+    if do_trellis:
+        tcy = jnp.where(
+            at_y0[..., None], 0, _shift_down_rows(ring_read(state["rcy"], s2))
+        )
+        lcy = jnp.where(at_x0[..., None], 0, state["left_cy"])
+        i16_y, i16_rec, _ = _i16_trellis_v2(
+            i16_dct, i16_y2, i16_pred, tcy, lcy, P, tbl
+        )
+        if n_try > 0:
+            i4_levels, i4_rec, _ = _i4_trellis_v2(
+                a16, tr4, tl, left16, src, i4_modes, tcy, lcy, P, tbl
+            )
     luma_rec = jnp.where(use_i4[..., None, None], i4_rec, i16_rec)
     luma_mode = jnp.where(use_i4, 4, i16_mode)
-    bmode = jnp.asarray([0, 2, 3, 1], jnp.int32)[i16_mode]  # [R,B]
+    bmode = jnp.where(
+        i16_mode == 0, 0, jnp.where(i16_mode == 1, 2, jnp.where(i16_mode == 2, 3, 1))
+    )  # DC/V/H/TM -> B_DC/B_VE/B_HE/B_TM, gather-free
     bpred_out = jnp.where(
         use_i4[..., None],
         i4_modes,
@@ -670,6 +830,16 @@ def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int):
         left_bpred=new_lb,
         left_derr=new_lde,
     )
+    if do_trellis:
+        # Trellis contexts for neighbors: nnz of the final levels (position
+        # 1.. for I16 MBs, 0.. for I4), per block, bottom row / right column.
+        nz_grid = jnp.where(
+            use_i4[..., None],
+            (y_levels != 0).any(-1),
+            (y_levels[..., 1:] != 0).any(-1),
+        ).astype(jnp.int32).reshape(R, B, 4, 4)
+        new_state["rcy"] = ring_write(state["rcy"], s0, nz_grid[..., 3, :])
+        new_state["left_cy"] = nz_grid[..., :, 3]
     outs = (
         luma_mode,
         uv_mode,
@@ -692,9 +862,10 @@ def _mb_tiles(plane, mb: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try"))
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
 def encode_analysis_batch_v2(
-    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
+    do_trellis: bool = False,
 ):
     """Batched lane-aligned RD analysis: [B, ...] planes -> per-MB decisions.
 
@@ -715,11 +886,11 @@ def encode_analysis_batch_v2(
         [schedule_mb_data(u_mb, idx), schedule_mb_data(v_mb, idx)], axis=3
     )  # [T,R,B,2,8,8]
 
-    state = enc_init_state(mbh, Bn)
+    state = enc_init_state(mbh, Bn, do_trellis)
 
     def step(state, inp):
         t, src, src_c = inp
-        return enc_step(state, t, src, src_c, P, tbl, mbw, n_try)
+        return enc_step(state, t, src, src_c, P, tbl, mbw, n_try, do_trellis)
 
     _, outs = jax.lax.scan(step, state, (jnp.arange(T_), src_s, srcc_s))
     lmode, cmode, bp, ylv, y2lv, uvlv = outs
@@ -741,4 +912,110 @@ def encode_analysis_batch_v2(
         y_levels=unsched(ylv, jnp.int16),
         y2_levels=unsched(y2lv, jnp.int16),
         uv_levels=unsched(uvlv, jnp.int16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed transfer format (the throughput path)
+# ---------------------------------------------------------------------------
+
+N_ESC = 4  # escape slots per MB (levels outside int8 range are rare)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
+def encode_analysis_batch_v2_packed(
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
+    do_trellis: bool = False,
+):
+    """Analysis with device-side packing for the narrow host tunnel.
+
+    Levels ship as int8 (|level| <= 127 covers virtually everything at
+    normal qualities) plus up to N_ESC per-MB escape (position, int16 value)
+    pairs; `overflow[b]` flags an image whose escapes didn't fit (the caller
+    falls back to the plain int16 variant — compiled lazily, essentially
+    never in practice).  Fetch: 400 + 18 + 16 bytes/MB vs 818 unpacked.
+    """
+    out = encode_analysis_batch_v2.__wrapped__(
+        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try, do_trellis
+    )
+    lv = jnp.concatenate(
+        [
+            out["y_levels"].reshape(*out["y_levels"].shape[:2], 256),
+            out["uv_levels"].reshape(*out["uv_levels"].shape[:2], 128),
+            out["y2_levels"],
+        ],
+        axis=-1,
+    ).astype(jnp.int32)  # [B, nmb, 400]
+    lv8 = jnp.clip(lv, -128, 127).astype(jnp.int8)
+
+    mask = jnp.abs(lv) > 127
+    pos_list, val_list = [], []
+    iota = jnp.arange(400, dtype=jnp.int32)
+    for _ in range(N_ESC):
+        idx = jnp.argmax(mask, axis=-1)  # [B, nmb]
+        found = mask.any(-1)
+        val = jnp.take_along_axis(lv, idx[..., None], axis=-1)[..., 0]
+        pos_list.append(jnp.where(found, idx, -1).astype(jnp.int16))
+        val_list.append(jnp.where(found, val, 0).astype(jnp.int16))
+        mask = mask & (iota != idx[..., None])
+    overflow = mask.any((-1, -2))  # [B]
+
+    meta8 = jnp.concatenate(
+        [
+            out["bpred"],
+            out["luma_mode"][..., None],
+            out["chroma_mode"][..., None],
+        ],
+        axis=-1,
+    )  # [B, nmb, 18] uint8
+    esc_pos = jnp.stack(pos_list, axis=-1)  # [B, nmb, N_ESC] int16
+    esc_val = jnp.stack(val_list, axis=-1)
+    return lv8, meta8, esc_pos, esc_val, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
+def encode_analysis_batch_v2_pertbl_packed(
+    ybufs, ubufs, vbufs, params_tree, tables_batched, mbw: int, mbh: int,
+    n_try: int, do_trellis: bool = False,
+):
+    """Packed analysis with PER-IMAGE cost tables (two-pass second pass:
+    each image's probabilities were adapted from its own pass-1 stats).
+
+    tables_batched: an EncTables pytree whose leaves carry a leading [B]
+    image axis (stack per-image EncTables with jax.tree_util.tree_map).
+    """
+
+    def one(y, u, v, tbl):
+        return encode_analysis_batch_v2_packed.__wrapped__(
+            y[None], u[None], v[None], params_tree, tbl, mbw, mbh, n_try,
+            do_trellis,
+        )
+
+    lv8, meta8, esc_pos, esc_val, overflow = jax.vmap(one)(
+        ybufs, ubufs, vbufs, tables_batched
+    )
+    return lv8[:, 0], meta8[:, 0], esc_pos[:, 0], esc_val[:, 0], overflow[:, 0]
+
+
+def stack_enc_tables(tables_list):
+    """Per-image EncTables -> one EncTables pytree with [B]-leading leaves."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tables_list)
+
+
+def unpack_analysis(lv8, meta8, esc_pos, esc_val):
+    """Host-side unpack of the packed transfer -> the plain arrays dict
+    for ONE image (numpy inputs [nmb, ...])."""
+    lv = lv8.astype(np.int32)
+    for k in range(N_ESC):
+        sel = np.flatnonzero(esc_pos[:, k] >= 0)
+        if len(sel):
+            lv[sel, esc_pos[sel, k].astype(np.int64)] = esc_val[sel, k]
+    nmb = lv.shape[0]
+    return dict(
+        y_levels=lv[:, :256].reshape(nmb, 16, 16),
+        uv_levels=lv[:, 256:384].reshape(nmb, 8, 16),
+        y2_levels=lv[:, 384:],
+        bpred=meta8[:, :16].astype(np.int32),
+        luma_mode=meta8[:, 16].astype(np.int32),
+        chroma_mode=meta8[:, 17].astype(np.int32),
     )

@@ -9,8 +9,8 @@ edge, horizontal subblock edges; RFC 6386 §15.2-15.3), and scatters the
 patches back. Patches of diagonal-mates are column-disjoint, so the scatter
 is race-free.
 
-Filter math is the jnp mirror of `webp_tpu.ops.loopfilter` (bit-exact by
-tests/test_jax_loopfilter.py).
+Filter math is the jnp mirror of `webp_tpu.ops.loopfilter`; exactness is
+enforced end-to-end by tests/test_device_decode.py over the golden corpus.
 """
 
 from __future__ import annotations

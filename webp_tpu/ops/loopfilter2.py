@@ -190,19 +190,29 @@ def _shift_up_rows(a):
 
 
 def filter_step(state, t, recon_y, recon_u, recon_v, level, interior, hev_t,
-                do_sub, mbw: int, simple: bool):
+                do_sub, mbw: int, simple: bool,
+                shift=None, shift_up=None, row0=0, r_total=None):
     """One filter wavefront step; emits final blocks of diag t-2.
 
     recon_* [R, B, n, n] int32 recon of MB (t-2r, r); params [R, B].
     Returns (new_state, outs): (out_y,) if simple else (out_y, out_u, out_v),
     the final pixels of diag t-2.
+
+    `shift`/`shift_up`/`row0`/`r_total` support band sharding over the row
+    axis (neighbor-shard boundary rows via ppermute, global row indexing).
     """
+    if shift is None:
+        shift = _shift_down_rows
+    if shift_up is None:
+        shift_up = _shift_up_rows
     R, B = level.shape
+    if r_total is None:
+        r_total = R
     # Masks from 2-D int32 (Mosaic cannot reshape 1-D bool vectors).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + row0
     x = t - 2 * rows                      # [R, 1]
     valid = (x >= 0) & (x < mbw)          # [R, 1]
-    row0 = rows == 0
+    row0_mask = rows == 0
     s0 = t % 3
     s1 = (t + 2) % 3
     s2 = (t + 1) % 3
@@ -214,14 +224,14 @@ def filter_step(state, t, recon_y, recon_u, recon_v, level, interior, hev_t,
         planes += (("u", 8, recon_u), ("v", 8, recon_v))
     for plane, n, recon in planes:
         fl = state[f"fl_{plane}"]                    # [R, B, n, 4]
-        top4 = _shift_down_rows(ring_read(state[f"fb_{plane}"], s2))  # [R,B,4,n+4]
+        top4 = shift(ring_read(state[f"fb_{plane}"], s2))  # [R,B,4,n+4]
         corner = jnp.zeros((R, B, 4, 4), recon.dtype)
         top_row = jnp.concatenate([corner, top4[..., 4:]], axis=-1)  # never-read corner
         body = jnp.concatenate([fl, recon], axis=-1)                 # [R,B,n,n+4]
         patch = jnp.concatenate([top_row, body], axis=-2)            # [R,B,n+4,n+4]
 
         patch = _filter_patch(
-            patch, n, x > 0, ~row0, level, interior, hev_t, do_sub, simple
+            patch, n, x > 0, ~row0_mask, level, interior, hev_t, do_sub, simple
         )
 
         vmask = valid[:, :, None, None]          # [R, 1, 1, 1]
@@ -249,9 +259,9 @@ def filter_step(state, t, recon_y, recon_u, recon_v, level, interior, hev_t,
             axis=-1,
         )
         em = ring_write(em, s1, e1)
-        below = _shift_up_rows(patch[:, :, 1:4, 4:])    # [R, B, 3, n]
+        below = shift_up(patch[:, :, 1:4, 4:])    # [R, B, 3, n]
         # Row r+1's MB this step is at x - 2; it must exist and be in-frame.
-        below_valid = (rows < R - 1) & (x - 2 >= 0) & (x - 2 < mbw)  # [R, 1]
+        below_valid = (rows < r_total - 1) & (x - 2 >= 0) & (x - 2 < mbw)  # [R, 1]
         e2 = ring_read(em, s2)
         e2 = jnp.concatenate(
             [e2[..., : n - 3, :],

@@ -148,7 +148,7 @@ def recon_init_state(mbh: int, batch: int, dtype=jnp.int32):
 
 
 def recon_step(state, t, res, lmode, bpred, cmode, mbw: int, unroll_i4: bool = True,
-               w13=None, r13=None):
+               w13=None, r13=None, shift=None, row0=0):
     """One lane-aligned wavefront step.
 
     state: see recon_init_state. t: scalar step index.
@@ -156,13 +156,19 @@ def recon_step(state, t, res, lmode, bpred, cmode, mbw: int, unroll_i4: bool = T
     lmode [R, B], bpred [R, B, 16], cmode [R, B].
     Returns (new_state, (recon_y [R,B,16,16], recon_u, recon_v [R,B,8,8])).
 
+    `shift`/`row0` support band sharding over the row axis: `shift` replaces
+    the local row shift with one that pulls the boundary row from the
+    neighboring shard (ppermute), and `row0` offsets the global row index.
+
     Every op here is Pallas-TPU-lowerable: static slices, concats, selects,
     broadcasts and one small matmul — no dynamic_slice / scatter on values.
     """
     del unroll_i4  # the I4 loop is always statically unrolled
+    if shift is None:
+        shift = _shift_down_rows
     R, B = lmode.shape
     # Masks are built from 2-D int32 (Mosaic cannot reshape 1-D bool vectors).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + row0
     x = t - 2 * rows  # [R, 1] -> broadcasts over B
     at_x0 = x == 0
     at_y0 = rows == 0
@@ -173,9 +179,9 @@ def recon_step(state, t, res, lmode, bpred, cmode, mbw: int, unroll_i4: bool = T
     s2 = (t + 1) % 3  # == (t - 2) % 3
 
     # --- luma borders ------------------------------------------------------
-    a16 = _shift_down_rows(ring_read(state["rbot_y"], s2))  # [R, B, 16]
-    tr4 = _shift_down_rows(ring_read(state["rbot_y"], s1))[..., :4]
-    tl = _shift_down_rows(ring_read(state["rbot_y"], s0))[..., 15]  # [R, B]
+    a16 = shift(ring_read(state["rbot_y"], s2))  # [R, B, 16]
+    tr4 = shift(ring_read(state["rbot_y"], s1))[..., :4]
+    tl = shift(ring_read(state["rbot_y"], s0))[..., 15]  # [R, B]
     tr4 = jnp.where(at_right[..., None], a16[..., 15:16], tr4)
     a16 = jnp.where(at_y0[..., None], 127, a16)
     tr4 = jnp.where(at_y0[..., None], 127, tr4)
@@ -227,8 +233,8 @@ def recon_step(state, t, res, lmode, bpred, cmode, mbw: int, unroll_i4: bool = T
 
     # --- chroma -------------------------------------------------------------
     def chroma(name_b, name_l, res_c):
-        a8 = _shift_down_rows(ring_read(state[name_b], s2))
-        tlc = _shift_down_rows(ring_read(state[name_b], s0))[..., 7]
+        a8 = shift(ring_read(state[name_b], s2))
+        tlc = shift(ring_read(state[name_b], s0))[..., 7]
         a8 = jnp.where(at_y0[..., None], 127, a8)
         tlc = jnp.where(at_y0, 127, jnp.where(at_x0, 129, tlc))
         left8 = jnp.where(at_x0[..., None], 129, state[name_l])

@@ -1,12 +1,17 @@
-"""Sharded batch codec pipeline.
+"""Sharded batch codec pipelines (jax.sharding Mesh + shard_map).
 
-`decode_batch_sharded` runs the full per-image device decode (IDCT, wavefront
-reconstruction, wavefront loop filter) data-parallel over the mesh's `data`
-axis, then converts YUV->RGB with the luma/chroma planes sharded over the
-`band` axis: each band owns a horizontal stripe and exchanges one chroma
-boundary row with its neighbors via `lax.ppermute` (the fancy upsampler's
-stencil reaches one chroma row up/down). This is the tile-band + halo-exchange
-design from SURVEY §7, with collectives riding ICI.
+Two parallel axes, matching SURVEY §2.4:
+
+- `data`: images of a batch are independent — decode and encode analysis
+  shard over it with no collectives.
+- `band`: horizontal stripes of MB rows within an image.  The wavefront's
+  cross-row dataflow (one recon border row, one filter margin row per step,
+  and the chroma upsampler's one-row stencil) crosses band boundaries, so the
+  banded kernels exchange exactly those rows with `lax.ppermute` each step —
+  halos ride ICI while all heavy math stays local.
+
+`tests/test_sharded.py` asserts byte-equality of every sharded path with the
+single-device kernels on real bitstreams (8-device CPU mesh).
 """
 
 from __future__ import annotations
@@ -19,122 +24,174 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops import jax_ops
-from ..ops.jax_loopfilter import loop_filter_frame
-from ..ops.wavefront import reconstruct_frame
+from ..ops.loopfilter2 import filter_init_state, filter_step
+from ..ops.wavefront2 import (
+    assemble_plane_v2,
+    make_schedule_gather,
+    recon_init_state,
+    recon_step,
+    schedule_mb_data,
+)
 
 
-def _exchange_rows(plane, axis):
-    """Bring in the neighbor bands' boundary rows: returns (prev_last, next_first).
+def _band_shifts(axis: str):
+    """Row-shift helpers that pull boundary rows from neighbor bands.
 
-    Edge bands clamp to their own boundary row (mirroring the global edge
-    clamp of the upsampler).
+    ppermute leaves non-receiving devices with zeros — exactly the local
+    shifts' edge convention, so band 0 / band n-1 behave like frame edges.
     """
-    n = jax.lax.psum(1, axis)
-    idx = jax.lax.axis_index(axis)
-    down = [(i, (i + 1) % n) for i in range(n)]
-    up = [(i, (i - 1) % n) for i in range(n)]
-    prev_last = jax.lax.ppermute(plane[-1:], axis, down)
-    next_first = jax.lax.ppermute(plane[:1], axis, up)
-    prev_last = jnp.where(idx == 0, plane[:1], prev_last)
-    next_first = jnp.where(idx == n - 1, plane[-1:], next_first)
-    return prev_last, next_first
+    n = jax.device_count() if axis is None else None  # resolved inside
+
+    def shift_down(a):
+        nb = jax.lax.psum(1, axis)
+        prev_last = jax.lax.ppermute(
+            a[-1:], axis, [(i, i + 1) for i in range(nb - 1)]
+        )
+        return jnp.concatenate([prev_last, a[:-1]], axis=0)
+
+    def shift_up(a):
+        nb = jax.lax.psum(1, axis)
+        next_first = jax.lax.ppermute(
+            a[:1], axis, [(i + 1, i) for i in range(nb - 1)]
+        )
+        return jnp.concatenate([a[1:], next_first], axis=0)
+
+    return shift_down, shift_up
 
 
-def _banded_upsample(c_local, band_axis):
-    """Fancy-upsample a band of a chroma plane to 2x rows with halo rows."""
-    cl, cw = c_local.shape
-    prev_last, next_first = _exchange_rows(c_local, band_axis)
-    ext = jnp.concatenate([prev_last, c_local, next_first], axis=0)  # [cl+2, cw]
+def decode_wavefront_banded(residuals, lmode, bpred, cmode, level, interior,
+                            hev_t, do_sub, mesh, mbw: int, mbh: int,
+                            simple: bool):
+    """Reconstruction + loop filter with MB rows sharded over `band`.
 
-    height = 2 * cl
-    width = 2 * cw
-    r = jnp.arange(height)
-    x = jnp.arange(width)
-    mr = r // 2 + 1  # +1 for the halo offset
-    fr = jnp.where(r % 2 == 1, r // 2 + 2, r // 2)
-    mc = x // 2
-    fc = jnp.clip(jnp.where(x % 2 == 1, x // 2 + 1, x // 2 - 1), 0, cw - 1)
-    ci = ext.astype(jnp.int32)
-    main = ci[mr, :][:, mc]
-    sec_col = ci[mr, :][:, fc]
-    sec_row = ci[fr, :][:, mc]
-    tert = ci[fr, :][:, fc]
-    return ((9 * main + 3 * sec_col + 3 * sec_row + tert + 8) >> 4).astype(jnp.uint8)
+    Inputs are per-MB dense arrays [B, nmb, ...]; returns (y, u, v) uint8
+    planes.  Each band owns mbh/n_band wavefront rows; per step the ring
+    borders (1 recon row, 4 filter margin rows, 3 emission rows) cross band
+    boundaries via ppermute.
+    """
+    n_band = mesh.shape["band"]
+    assert mbh % n_band == 0, (mbh, n_band)
+    r_loc = mbh // n_band
+    T, idx = make_schedule_gather(mbw, mbh)
 
+    res_s = schedule_mb_data(residuals.astype(jnp.int32), idx)
+    lm_s = schedule_mb_data(lmode.astype(jnp.int32), idx)
+    bp_s = schedule_mb_data(bpred.astype(jnp.int32), idx)
+    cm_s = schedule_mb_data(cmode.astype(jnp.int32), idx)
+    lv_s = schedule_mb_data(level.astype(jnp.int32), idx)
+    it_s = schedule_mb_data(interior.astype(jnp.int32), idx)
+    hv_s = schedule_mb_data(hev_t.astype(jnp.int32), idx)
+    ds_s = schedule_mb_data(do_sub, idx)
 
-def make_decode_batch_sharded(mesh, mbw: int, mbh: int, simple: bool = False):
-    """Build the jitted sharded batch-decode step for a fixed geometry."""
-    H, W = mbh * 16, mbw * 16
-
-    data_spec = P("data")
+    B = residuals.shape[0]
+    spec = P(None, "band")
 
     @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(data_spec,) * 9,
-        out_specs=(data_spec, data_spec, data_spec),
+        shard_map, mesh=mesh,
+        in_specs=(spec,) * 8,
+        out_specs=(spec, spec, spec),
         check_rep=False,
     )
-    def recon_stage(coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev, do_sub):
-        def one(args):
-            c, ac, lm, bp, cm, lv, it, hv, ds = args
-            full = jax_ops.idct4x4(c)
-            dc = (c[..., 0:1] + 4) >> 3
-            res = jnp.where(ac[..., None], full, jnp.broadcast_to(dc, full.shape))
-            y, u, v = reconstruct_frame(res, lm, bp, cm, mbw, mbh)
-            return loop_filter_frame(y, u, v, lv, it, hv, ds, mbw, mbh, simple)
+    def run(res, lm, bp, cm, lv, it, hv, ds):
+        shift_down, shift_up = _band_shifts("band")
+        row0 = jax.lax.axis_index("band") * r_loc
 
-        return jax.vmap(one)(
-            (coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev, do_sub)
+        state = recon_init_state(r_loc, B)
+
+        def rstep(state, inp):
+            t, r_, l_, b_, c_ = inp
+            return recon_step(
+                state, t, r_, l_, b_, c_, mbw, shift=shift_down, row0=row0
+            )
+
+        _, (ys, us, vs) = jax.lax.scan(
+            rstep, state, (jnp.arange(T), res, lm, bp, cm)
         )
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("data", "band"), P("data", "band"), P("data", "band")),
-        out_specs=P("data", "band"),
-        check_rep=False,
+        def pad2(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((2,) + a.shape[1:], a.dtype)], axis=0
+            )
+
+        fstate = filter_init_state(r_loc, B, simple)
+
+        def fstep(state, inp):
+            t, ry, ru, rv, l_, i_, h_, d_ = inp
+            return filter_step(
+                state, t, ry, ru, rv, l_, i_, h_, d_, mbw, simple,
+                shift=shift_down, shift_up=shift_up, row0=row0, r_total=mbh,
+            )
+
+        _, outs = jax.lax.scan(
+            fstep, fstate,
+            (jnp.arange(T + 2), pad2(ys), pad2(us), pad2(vs),
+             pad2(lv), pad2(it), pad2(hv), pad2(ds)),
+        )
+        if simple:
+            oy = outs[0]
+            return oy[2:], us, vs
+        oy, ou, ov = outs
+        return oy[2:], ou[2:], ov[2:]
+
+    oy, ou, ov = run(res_s, lm_s, bp_s, cm_s, lv_s, it_s, hv_s, ds_s)
+    return (
+        assemble_plane_v2(oy, mbw, mbh, 16).astype(jnp.uint8),
+        assemble_plane_v2(ou, mbw, mbh, 8).astype(jnp.uint8),
+        assemble_plane_v2(ov, mbw, mbh, 8).astype(jnp.uint8),
     )
-    def color_stage(y, u, v):
-        # y: [b_local, band rows, W]; chroma at half resolution.
-        up_u = jax.vmap(lambda c: _banded_upsample(c, "band"))(u)
-        up_v = jax.vmap(lambda c: _banded_upsample(c, "band"))(v)
-        return jax_ops.yuv_to_rgb(y, up_u, up_v).reshape(y.shape[0], y.shape[1], -1)
+
+
+def make_decode_batch_sharded(mesh, mbw: int, mbh: int, simple: bool,
+                              width: int, height: int):
+    """Data-parallel batched levels-mode decode over the mesh's `data` axis.
+
+    Takes the packed int8 transfer format of `decode.device.parse_levels_batch`
+    (i8buf, esc_pos, esc_val, qtab, u8buf) sharded over images; each device
+    runs the full single-chip pipeline on its shard.
+    """
+    from ..decode.device import _decode_core
+
+    nmb = mbw * mbh
 
     @jax.jit
-    def step(coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev, do_sub):
-        y, u, v = recon_stage(
-            coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev, do_sub
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"),) * 5,
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    def step(i8buf, esc_pos, esc_val, qtab, u8buf):
+        lv = i8buf.astype(jnp.int16)
+        lv = lv.at[jnp.arange(lv.shape[0])[:, None], esc_pos].set(
+            esc_val, mode="drop"
         )
-        rgb = color_stage(y, u, v)
-        return rgb.reshape(y.shape[0], H, W, 3)
+        levels = lv.reshape(lv.shape[0], nmb, 25, 16)
+        return _decode_core(
+            levels, qtab, u8buf, mbw, mbh, simple, width, height, "scan"
+        )
 
     return step
 
 
-def make_encode_analysis_sharded(mesh, mbw: int, mbh: int):
-    """Data-parallel batched encoder front half: RGB->YUV + forward DCT of the
-    DC-mode residual grid (the FLOP-dense analysis stage), sharded over images
-    with per-band row sharding for the color conversion."""
+def make_encode_analysis_sharded(mesh, mbw: int, mbh: int, n_try: int,
+                                 do_trellis: bool = False):
+    """Data-parallel batched encoder RD analysis over the `data` axis.
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("data"),),
-        out_specs=(P("data"), P("data")),
-        check_rep=False,
-    )
-    def step_inner(rgb):
-        y, u, v = jax.vmap(jax_ops.rgb_to_yuv420)(rgb)
-        yb = (
-            y.reshape(y.shape[0], mbh, 16, mbw, 16)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(y.shape[0], mbh * mbw, 256)
-        )
-        blocks = (
-            yb.reshape(-1, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(yb.shape[0], -1, 16)
-        )
-        dct = jax_ops.dct4x4(blocks.astype(jnp.int32) - 128)
-        return dct, u
+    Each device runs the lane-aligned v2 wavefront on its image shard; the
+    host finishes entropy coding per image (see encode.vp8).
+    """
+    from ..ops.encode_wavefront2 import encode_analysis_batch_v2
 
-    return jax.jit(lambda rgb: step_inner(rgb))
+    def step(ybufs, ubufs, vbufs, params_tree, tables_tree):
+        run = shard_map(
+            lambda y, u, v: encode_analysis_batch_v2.__wrapped__(
+                y, u, v, params_tree, tables_tree, mbw, mbh, n_try, do_trellis
+            ),
+            mesh=mesh,
+            in_specs=(P("data"),) * 3,
+            out_specs=P("data"),
+            check_rep=False,
+        )
+        return jax.jit(run)(ybufs, ubufs, vbufs)
+
+    return step
