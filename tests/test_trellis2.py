@@ -64,3 +64,34 @@ def test_trellis_par_matches_host(q, ctype, first, lam_attr, mtx_attr, unroll):
     )
     np.testing.assert_array_equal(np.asarray(got_lv), want_lv)
     np.testing.assert_array_equal(np.asarray(got_nz), want_nz)
+
+
+@pytest.mark.parametrize("q", [10, 75])
+def test_trellis_spec3_matches_per_ctx(q):
+    """The 3-way speculative DP must equal trellis_par run per ctx0."""
+    from webp_tpu.ops.trellis2 import trellis_spec3
+
+    qi = quality_to_quant_index(q)
+    seg = SegmentParams(qi)
+    tbl = EncTables.default()
+    rng = np.random.RandomState(q)
+    coeffs = rng.randint(-900, 900, (40, 16))
+    coeffs[rng.rand(40, 16) < 0.4] = 0
+    coeffs = coeffs.astype(np.int32)
+    args = (
+        jnp.asarray(_zzvec(seg.y1, "q").astype(np.int32)),
+        jnp.asarray(_zzvec(seg.y1, "iq").astype(np.int32)),
+        jnp.asarray(seg.y1.sharpen[ZZ].astype(np.int32)),
+        int(seg.lambda_trellis_i16), 0, 1,
+    )
+    lv3, nz3 = trellis_spec3(
+        jnp.asarray(coeffs), *args,
+        tbl.cls_cost[0], tbl.eob_cost[0], tbl.init_cost[0],
+    )
+    for c in range(3):
+        want_lv, want_nz = trellis_par(
+            jnp.asarray(coeffs), *args, jnp.full(40, c, jnp.int32),
+            tbl.cls_cost[0], tbl.eob_cost[0], tbl.init_cost[0],
+        )
+        np.testing.assert_array_equal(np.asarray(lv3[:, c]), np.asarray(want_lv))
+        np.testing.assert_array_equal(np.asarray(nz3[:, c]), np.asarray(want_nz))

@@ -377,17 +377,13 @@ def _i16_trellis_v2(dct, y2_lv, pred, top_cy, left_cy, P, tbl):
 
     Returns (levels [R,B,16,16], rec [R,B,16,16], nnz [R,B,16] 0/1).
     """
-    from .trellis2 import trellis_par
+    from .trellis2 import trellis_spec3
 
     R, B = dct.shape[:2]
-    ctx3 = jnp.arange(3, dtype=jnp.int32).reshape(1, 1, 1, 3)
-    lv3, nz3 = trellis_par(
-        jnp.broadcast_to(dct[:, :, :, None, :], (R, B, 16, 3, 16)),
-        P.y1_q, P.y1_iq, P.y1_sharpen, P.lambda_trellis_i16, 0, 1,
-        jnp.broadcast_to(ctx3, (R, B, 16, 3)),
+    lv3, nz3 = trellis_spec3(
+        dct, P.y1_q, P.y1_iq, P.y1_sharpen, P.lambda_trellis_i16, 0, 1,
         tbl.cls_cost[0], tbl.eob_cost[0], tbl.init_cost[0],
-        unroll=True,
-    )
+    )  # [R,B,16,3,16], [R,B,16,3]
     nz3 = nz3.astype(jnp.int32)
 
     levels = [None] * 16
@@ -434,14 +430,7 @@ def _i4_trellis_v2(a16, tr4, tl, left16, src, modes, top_cy, left_cy, P, tbl):
     from .trellis2 import trellis_par
 
     R, B = src.shape[:2]
-    # Workspace: row 0 = [tl | above 16 | tr 4], col 0 rows 1..16 = left,
-    # with the MB-level TR pixels replicated at rows 4/8/12 (the column-3
-    # subblocks use them for every row — create_border_luma rows 4/8/12).
-    ws = jnp.zeros((R, B, 17, 21), jnp.int32)
-    ws = ws.at[..., 0, :].set(jnp.concatenate([tl[..., None], a16, tr4], axis=-1))
-    ws = ws.at[..., 1:, 0].set(left16)
-    for rr in (4, 8, 12):
-        ws = ws.at[..., rr, 17:21].set(tr4)
+    ws = _make_i4_ws(a16, tr4, tl, left16)
 
     # nnz grid with neighbor-MB context halo: ext[r+1, c+1] = nnz(r, c),
     # ext[0, 1:] = top contexts, ext[1:, 0] = left contexts.
@@ -456,18 +445,7 @@ def _i4_trellis_v2(a16, tr4, tl, left16, src, modes, top_cy, left_cy, P, tbl):
         ws, nnz_ext = carry
         i, src4, mode_i = x
         sby, sbx = i // 4, i % 4
-        patch = jax.lax.dynamic_slice(
-            ws, (0, 0, sby * 4, sbx * 4), (R, B, 5, 9)
-        )
-        b13 = jnp.concatenate(
-            [patch[..., 0, 0:1], patch[..., 0, 1:9], patch[..., 1:5, 0]], axis=-1
-        )
-        preds = jnp.dot(
-            b13.reshape(R * B, 13).astype(jnp.float32),
-            _W13,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).reshape(R, B, 160)
-        preds = jnp.clip((preds + _R13) >> 3, 0, 255).reshape(R, B, 10, 16)
+        preds = _i4_preds_from_ws(ws, sby, sbx)
         pred = _pick_mode(preds, mode_i, 10)  # [R,B,16]
 
         dct = jax_ops.dct4x4(src4 - pred)
@@ -512,8 +490,40 @@ def _top_ntry_onehots(sse10, n_try: int):
     return jnp.stack(ohs, axis=2)  # [R,B,n_try,10]
 
 
+def _make_i4_ws(a16, tr4, tl, left16):
+    """Bordered I4 workspace [R,B,17,21]: row 0 = [tl | above | tr], col 0 =
+    left, with the MB-level TR pixels replicated at rows 4/8/12 (the
+    column-3 subblocks use them for every row — create_border_luma)."""
+    R, B = tl.shape
+    ws = jnp.zeros((R, B, 17, 21), jnp.int32)
+    ws = ws.at[..., 0, :].set(jnp.concatenate([tl[..., None], a16, tr4], axis=-1))
+    ws = ws.at[..., 1:, 0].set(left16)
+    for rr in (4, 8, 12):
+        ws = ws.at[..., rr, 17:21].set(tr4)
+    return ws
+
+
+def _i4_preds_from_ws(ws, sby, sbx):
+    """All 10 B-mode predictions for subblock (sby, sbx) from the workspace
+    (uniform dynamic slice; offsets depend only on scalars)."""
+    R, B = ws.shape[:2]
+    patch = jax.lax.dynamic_slice(ws, (0, 0, sby * 4, sbx * 4), (R, B, 5, 9))
+    b13 = jnp.concatenate(
+        [patch[..., 0, 0:1], patch[..., 0, 1:9], patch[..., 1:5, 0]], axis=-1
+    )
+    preds = jnp.dot(
+        b13.reshape(R * B, 13).astype(jnp.float32),
+        _W13,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32).reshape(R, B, 160)
+    return jnp.clip((preds + _R13) >> 3, 0, 255).reshape(R, B, 10, 16)
+
+
 def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P, tbl):
-    """Sequential 16-subblock I4 search over [R, B] lanes.
+    """Sequential 16-subblock I4 search over [R, B] lanes, as a lax.scan
+    over the subblocks (bordered workspace + uniform dynamic slices: a
+    statically-unrolled chain multiplies the wavefront graph ~16x and
+    stalls the XLA compile).
 
     src [R,B,16,16] int32; tb0/lb0 [R,B,4] neighbor bpred modes.
     Returns (ok [R,B], modes [R,B,16], levels [R,B,16,16], rec [R,B,16,16],
@@ -522,42 +532,15 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
     R, B = src.shape[:2]
     src_blocks = _blocks16(src)  # [R,B,16,16] per-subblock raster pixels
     tsrc_all = _t_transform(src_blocks.reshape(R, B, 16, 4, 4), tbl.weight_y)
-
-    tb, lb = tb0, lb0
-    rate = jnp.full((R, B), 211, jnp.int32)  # BMODE initial penalty
-    disto = jnp.zeros((R, B), jnp.int32)
-    ok = jnp.ones((R, B), bool)
-    blocks = [[None] * 4 for _ in range(4)]
-    modes_out = []
-    levels_out = []
+    ws0 = _make_i4_ws(a16, tr4, tl, left16)
     arange10 = jnp.arange(10, dtype=jnp.int32)
 
-    for i in range(16):
+    def body(carry, x):
+        ws, tb, lb, rate, disto, ok = carry
+        i, src4, tsrc = x
         sby, sbx = i // 4, i % 4
-        c0 = sbx * 4
-        if sby == 0:
-            a4 = a16[..., c0 : c0 + 4]
-            a47 = tr4 if sbx == 3 else a16[..., c0 + 4 : c0 + 8]
-            tl_s = tl[..., None] if sbx == 0 else a16[..., c0 - 1 : c0]
-        else:
-            a4 = blocks[sby - 1][sbx][..., 3, :]
-            a47 = tr4 if sbx == 3 else blocks[sby - 1][sbx + 1][..., 3, :]
-            tl_s = (
-                left16[..., sby * 4 - 1 : sby * 4]
-                if sbx == 0
-                else blocks[sby - 1][sbx - 1][..., 3, 3:4]
-            )
-        l4 = left16[..., sby * 4 : sby * 4 + 4] if sbx == 0 else blocks[sby][sbx - 1][..., :, 3]
+        preds = _i4_preds_from_ws(ws, sby, sbx)
 
-        b13 = jnp.concatenate([tl_s, a4, a47, l4], axis=-1)  # [R,B,13]
-        preds = jnp.dot(
-            b13.reshape(R * B, 13).astype(jnp.float32),
-            _W13,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).reshape(R, B, 160)
-        preds = jnp.clip((preds + _R13) >> 3, 0, 255).reshape(R, B, 10, 16)
-
-        src4 = src_blocks[:, :, i]  # [R,B,16]
         sse10 = ((preds - src4[..., None, :]) ** 2).sum(-1)  # [R,B,10]
         oh_k = _top_ntry_onehots(sse10, n_try)  # [R,B,K,10]
         cand = jnp.einsum(
@@ -566,9 +549,9 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
             preds.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # [R,B,K,16]
-        kmode = jnp.einsum("rbkm,m->rbk", oh_k, arange10.astype(jnp.float32)).astype(
-            jnp.int32
-        )
+        kmode = jnp.einsum(
+            "rbkm,m->rbk", oh_k, arange10.astype(jnp.float32)
+        ).astype(jnp.int32)
 
         resid = src4[..., None, :] - cand
         dct = jax_ops.dct4x4(resid)
@@ -577,16 +560,15 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         rec = _clip255(cand + jax_ops.idct4x4(_dequant_zz(lv, P.y1_q)))
         d = ((rec - src4[..., None, :]) ** 2).sum(-1)
         trec = _t_transform(rec.reshape(R, B, n_try, 4, 4), tbl.weight_y)
-        td = jnp.abs(trec - tsrc_all[:, :, i : i + 1]) >> 5
+        td = jnp.abs(trec - tsrc[..., None]) >> 5
         sd = jnp.where(P.tlambda > 0, (P.tlambda * td + 128) >> 8, 0)
 
         # Mode header cost: VP8_FIXED_COSTS_I4[top][left][mode] as one-hot
         # contractions instead of a per-lane gather (byte-split: exact).
+        tbx = jax.lax.dynamic_slice(tb, (0, 0, sbx), (R, B, 1))[..., 0]
+        lby = jax.lax.dynamic_slice(lb, (0, 0, sby), (R, B, 1))[..., 0]
         mc_all = _split_einsum(
-            "rbt,rbl,tlm->rbm",
-            tbl.fixed_i4,
-            _onehot(tb[..., sbx], 10),
-            _onehot(lb[..., sby], 10),
+            "rbt,rbl,tlm->rbm", tbl.fixed_i4, _onehot(tbx, 10), _onehot(lby, 10)
         )
         mode_costs = _split_einsum("rbkm,rbm->rbk", mc_all, oh_k)
 
@@ -600,23 +582,32 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         rec_k = _pick_mode(rec, k, n_try)
         pick1 = lambda x: _pick_mode(x, k, n_try)
 
-        blocks[sby][sbx] = rec_k.reshape(R, B, 4, 4)
-        modes_out.append(m)
-        levels_out.append(lv_k)
-        tb = tb.at[..., sbx].set(m)
-        lb = lb.at[..., sby].set(m)
+        ws = jax.lax.dynamic_update_slice(
+            ws, rec_k.reshape(R, B, 4, 4), (0, 0, sby * 4 + 1, sbx * 4 + 1)
+        )
+        tb = jax.lax.dynamic_update_slice(tb, m[..., None], (0, 0, sbx))
+        lb = jax.lax.dynamic_update_slice(lb, m[..., None], (0, 0, sby))
         rate = rate + pick1(rates)
         disto = disto + pick1(d) + pick1(sd)
         ok = ok & (_rd_score32(rate, disto, P.lambda_mode) < i16_score)
+        return (ws, tb, lb, rate, disto, ok), (m, lv_k)
 
-    rec_full = jnp.concatenate(
-        [jnp.concatenate(brow, axis=-1) for brow in blocks], axis=-2
+    init = (
+        ws0, tb0, lb0,
+        jnp.full((R, B), 211, jnp.int32),  # BMODE initial penalty
+        jnp.zeros((R, B), jnp.int32),
+        jnp.ones((R, B), bool),
+    )
+    src_x = jnp.moveaxis(src_blocks, 2, 0)  # [16, R, B, 16]
+    tsrc_x = jnp.moveaxis(tsrc_all, 2, 0)  # [16, R, B]
+    (ws, tb, lb, rate, disto, ok), (ms, lvs) = jax.lax.scan(
+        body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x)
     )
     return (
         ok,
-        jnp.stack(modes_out, axis=-1),
-        jnp.stack(levels_out, axis=-2),
-        rec_full,
+        jnp.moveaxis(ms, 0, 2),
+        jnp.moveaxis(lvs, 0, 2),
+        ws[..., 1:, 1:17],
         tb,
         lb,
     )
