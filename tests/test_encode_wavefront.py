@@ -91,3 +91,23 @@ def test_device_backend_m4_trellis_end_to_end(goldens):
     a = Vp8Encoder(75, 4, backend="python").encode(src)
     b = Vp8Encoder(75, 4, backend="device").encode(src)
     assert a == b
+
+
+def test_batch_two_pass_equals_python_encoder(goldens):
+    """The batched two-pass flow (device stats -> per-image tables -> pass-2
+    kernel) must produce the same bitstreams as the reference single-image
+    python encoder (segments auto-off below 256 MBs on both paths)."""
+    from webp_tpu.encode.vp8 import encode_frames_lossy_batch
+
+    src = load_png(goldens / "gallery1" / "1.png")[:96, :112].copy()
+    rng = np.random.RandomState(5)
+    imgs = [
+        np.clip(src.astype(np.int32) + rng.randint(-5, 6, src.shape), 0, 255).astype(
+            np.uint8
+        )
+        for _ in range(3)
+    ]
+    got = encode_frames_lossy_batch(imgs, 75, 4)
+    want = [Vp8Encoder(75, 4, backend="python").encode(im) for im in imgs]
+    for i, (g, w_) in enumerate(zip(got, want)):
+        assert g == w_, f"image {i}: {len(g)} vs {len(w_)} bytes"

@@ -150,25 +150,34 @@ class Vp8Encoder:
             arrays["skipped"] = skipped
             return ctx
 
-        # Pass 1 (no trellis): mode decision with default-probability costs,
-        # collecting token statistics for probability adaptation
-        # (reference two-pass flow, encoder vp8.rs:1317-1410).
-        saved_method = self.method
-        if self.two_pass:
-            self.method = min(self.method, 3)  # trellis off in the stats pass
-        arrays = self._analysis_arrays()
-        self.method = saved_method
-        ctx = derive(arrays)
-        self._record_stats_arrays(arrays, ctx)
-        new_probs = self.stats.updated_probs(self.probs)
-
-        # Pass 2: re-decide with cost tables from the adapted probabilities
-        # (and trellis for method >= 4); tokens are then coded with the same
-        # adapted probabilities written in the header.
-        if self.two_pass:
+        if getattr(self, "probs_override", None) is not None:
+            # Batched two-pass flow: pass-1 statistics were computed on the
+            # device (ops.token_stats) and the adapted probabilities arrive
+            # pre-baked; _analysis_arrays returns the pass-2 decisions.
+            new_probs = self.probs_override
             self.level_costs = C.cached_level_costs(new_probs)
             arrays = self._analysis_arrays()
             ctx = derive(arrays)
+        else:
+            # Pass 1 (no trellis): mode decision with default-probability
+            # costs, collecting token statistics for probability adaptation
+            # (reference two-pass flow, encoder vp8.rs:1317-1410).
+            saved_method = self.method
+            if self.two_pass:
+                self.method = min(self.method, 3)  # trellis off in the stats pass
+            arrays = self._analysis_arrays()
+            self.method = saved_method
+            ctx = derive(arrays)
+            self._record_stats_arrays(arrays, ctx)
+            new_probs = self.stats.updated_probs(self.probs)
+
+            # Pass 2: re-decide with cost tables from the adapted
+            # probabilities (and trellis for method >= 4); tokens are then
+            # coded with the same adapted probabilities written in the header.
+            if self.two_pass:
+                self.level_costs = C.cached_level_costs(new_probs)
+                arrays = self._analysis_arrays()
+                ctx = derive(arrays)
 
         skipped = arrays["skipped"]
         total = len(skipped)
@@ -1045,30 +1054,42 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     U = jnp.asarray(np.stack([p[1] for p in planes]))
     V = jnp.asarray(np.stack([p[2] for p in planes]))
     P, TB = EncParams(seg), EncTables.default()
-    packed1 = encode_analysis_batch_v2_packed(
-        Y, U, V, P, TB, mbw, mbh, n_try1, False if two_pass else method >= 4
-    )
-
-    def fallback1():
-        out = encode_analysis_batch_v2(
-            Y, U, V, P, TB, mbw, mbh, n_try1, False if two_pass else method >= 4
-        )
-        out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
-        return [{k: out[k][i] for k in out} for i in range(len(planes))]
 
     if not two_pass:
-        return lambda: (_fetch_packed(packed1, planes, fallback1), None, None)
+        packed1 = encode_analysis_batch_v2_packed(
+            Y, U, V, P, TB, mbw, mbh, n_try1, method >= 4
+        )
+
+        def fallback1():
+            out = encode_analysis_batch_v2(
+                Y, U, V, P, TB, mbw, mbh, n_try1, method >= 4
+            )
+            out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
+            return [{k: out[k][i] for k in out} for i in range(len(planes))]
+
+        return lambda: (_fetch_packed(packed1, planes, fallback1), None)
+
+    # Two-pass: pass 1 returns only the on-device token statistics (a few
+    # KB/image — the pass-1 levels never cross the tunnel); pass 2 re-decides
+    # with per-image adapted cost tables.
+    from ..ops.encode_wavefront2 import encode_analysis_stats_batch
+
+    stats = encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1)
 
     def fetch():
-        arrays1 = _fetch_packed(packed1, planes, fallback1)
-        probs = list(
-            _host_pool().map(
-                lambda a: adapted_probs_for(dict(a), mbw, mbh), arrays1
-            )
-        )
-        tables = stack_enc_tables(
-            [EncTables.from_level_costs(C.cached_level_costs(p)) for p in probs]
-        )
+        totals, ones = (np.asarray(a).astype(np.int64) for a in stats)
+        default = T.COEFF_PROBS_DEFAULT.copy()
+
+        def probs_for(i):
+            st = C.ProbaStats()
+            st.total += totals[i]
+            st.ones += ones[i]
+            return st.updated_probs(default)
+
+        probs = list(_host_pool().map(probs_for, range(len(planes))))
+        from ..ops.encode_wavefront2 import enc_tables_from_probs
+
+        tables = enc_tables_from_probs(jnp.asarray(np.stack(probs)))
         packed2 = encode_analysis_batch_v2_pertbl_packed(
             Y, U, V, P, tables, mbw, mbh, n_try, method >= 4
         )
@@ -1085,7 +1106,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
             return outs
 
         arrays2 = _fetch_packed(packed2, planes, fallback2)
-        return arrays1, arrays2, probs
+        return arrays2, probs
 
     return fetch
 
@@ -1106,20 +1127,21 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
 
 
 def finish_frames_lossy_batch(planes, fetched, quality, method, w, h) -> list:
-    """Host half of the batched encode: stats, probs, contexts, entropy.
+    """Host half of the batched encode: probs injection, contexts, entropy.
 
-    `fetched` is (arrays1, arrays2, probs) from analyze_frames_lossy_batch:
-    feeding arrays1 then arrays2 through Vp8Encoder.encode_yuv's two
-    _analysis_arrays calls reproduces the single-image two-pass flow
-    exactly (stats from pass 1, decisions and tokens from pass 2)."""
-    arrays1, arrays2, _probs = fetched
+    `fetched` is (arrays, probs) from analyze_frames_lossy_batch: for the
+    two-pass flow, `probs` carries each image's pass-1-adapted probabilities
+    (from device statistics) and `arrays` the pass-2 decisions — together
+    they reproduce the single-image two-pass flow exactly."""
+    arrays_list, probs = fetched
 
     def one(i):
-        two_pass = arrays2 is not None
+        two_pass = probs is not None
         enc = Vp8Encoder(quality, method, backend="device", two_pass=two_pass)
+        if two_pass:
+            enc.probs_override = probs[i]
         y, u, v = planes[i]
-        seq = iter([arrays1[i], arrays2[i]] if two_pass else [arrays1[i]])
-        enc._analysis_arrays = lambda: dict(next(seq))
+        enc._analysis_arrays = lambda a=arrays_list[i]: dict(a)
         return enc.encode_yuv(y, u, v, w, h)
 
     return list(_host_pool().map(one, range(len(planes))))

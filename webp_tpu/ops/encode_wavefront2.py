@@ -993,6 +993,103 @@ def stack_enc_tables(tables_list):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tables_list)
 
 
+def _build_level_code_masks_np():
+    from ..encode.costs import _LC_A1, _LC_A0
+
+    return _LC_A1.astype(np.float32), _LC_A0.astype(np.float32)
+
+
+@jax.jit
+def enc_tables_from_probs(probs_u8):
+    """Per-image probability sets [B, 4, 8, 3, 11] -> batched EncTables.
+
+    The host path built 32 EncTables via hundreds of small device
+    transfers; here one 4 KB probability upload derives every table on
+    device (the same closed form as the vectorized LevelCosts build).
+    """
+    ent = jnp.asarray(ET.VP8_ENTROPY_COST.astype(np.int32))
+    a1, a0 = _build_level_code_masks_np()
+    bands = np.array(ET.VP8_ENC_BANDS[:16])
+
+    p = probs_u8.astype(jnp.int32)  # [B,4,8,3,11]
+    e1 = ent[255 - p]
+    e0 = ent[p]
+    cost0 = jnp.concatenate(
+        [jnp.zeros_like(e1[..., :1, 0]), e1[..., 1:, 0]], axis=-1
+    )  # [B,4,8,3]
+    cost_base = e1[..., 1] + cost0
+
+    # Variable level costs via the static level-code masks (byte-split
+    # einsums: operands exact in bf16).
+    def mask_dot(mask_np, e):
+        hi = jnp.einsum(
+            "vi,...i->...v", jnp.asarray(mask_np), (e >> 7).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        lo = jnp.einsum(
+            "vi,...i->...v", jnp.asarray(mask_np), (e & 127).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return (hi * 128 + lo).astype(jnp.int32)
+
+    var = mask_dot(a1, e1[..., 2:]) + mask_dot(a0, e0[..., 2:])  # [B,4,8,3,67]
+    lc0 = (e0[..., 1] + cost0)[..., None]
+    lc = jnp.concatenate([lc0, cost_base[..., None] + var], axis=-1)  # [..,68]
+
+    pos_cost = lc[:, :, bands]  # [B,4,16,3,68]
+    B = p.shape[0]
+    t = EncTables.__new__(EncTables)
+    t.pos_cost = pos_cost
+    t.p0 = p[..., 0][:, :, bands, :]
+    t.fixed = jnp.broadcast_to(
+        jnp.asarray(ET.VP8_LEVEL_FIXED_COSTS.astype(np.int32)), (B, 2048)
+    )
+    t.ent = jnp.broadcast_to(ent, (B, 256))
+    t.weight_y = jnp.broadcast_to(
+        jnp.asarray(np.asarray(ET.VP8_WEIGHT_Y, np.int32)), (B, 16)
+    )
+    t.fixed_i16 = jnp.broadcast_to(
+        jnp.asarray(np.asarray(ET.FIXED_COSTS_I16, np.int32)), (B, 4)
+    )
+    t.fixed_uv = jnp.broadcast_to(
+        jnp.asarray(np.asarray(ET.FIXED_COSTS_UV, np.int32)), (B, 4)
+    )
+    t.fixed_i4 = jnp.broadcast_to(
+        jnp.asarray(np.asarray(ET.VP8_FIXED_COSTS_I4, np.int32)), (B, 10, 10, 10)
+    )
+    t.cls_cost = pos_cost[..., EncTables._CLS_REPS].astype(jnp.float32)
+    t.eob_cost = e0[..., 0][:, :, bands, :]
+    t.init_cost = e1[..., 0][:, :, bands, :]
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try"))
+def encode_analysis_stats_batch(
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int
+):
+    """Pass-1 analysis fused with on-device token statistics.
+
+    Two-pass probability adaptation needs ONLY the per-image (total, ones)
+    node counts from pass 1 — a few KB — so the pass-1 levels never leave
+    the device.  Returns (totals, ones) [B, 4, 8, 3, 11] int32.
+    """
+    from .token_stats import token_stats_device
+
+    out = encode_analysis_batch_v2.__wrapped__(
+        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try, False
+    )
+    lm = out["luma_mode"].astype(jnp.int32)
+    y2 = out["y2_levels"].astype(jnp.int32)
+    y = out["y_levels"].astype(jnp.int32)
+    uv = out["uv_levels"].astype(jnp.int32)
+    skipped = (
+        (y == 0).all(axis=(-1, -2))
+        & (uv == 0).all(axis=(-1, -2))
+        & (y2 == 0).all(axis=-1)
+    )
+    return token_stats_device.__wrapped__(lm, y2, y, uv, skipped, mbw, mbh)
+
+
 def unpack_analysis(lv8, meta8, esc_pos, esc_val):
     """Host-side unpack of the packed transfer -> the plain arrays dict
     for ONE image (numpy inputs [nmb, ...])."""
