@@ -198,8 +198,9 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"images/sec/chip (768x512 decode + Q75-m4 encode, batch={BATCH}, "
-                    "pipelined, decoded pixels device-resident)"
+                    f"images/sec/chip (768x512 decode + Q75-m4 encode: two-pass+trellis, "
+                    f"segments off, batch={BATCH}, pipelined, decoded pixels "
+                    "device-resident)"
                 ),
                 "value": round(images_per_s, 4),
                 "unit": "images/s",

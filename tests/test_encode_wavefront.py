@@ -10,7 +10,7 @@ from webp_tpu.common import vp8_tables as T
 from webp_tpu.encode import costs as C
 from webp_tpu.encode.quant import SegmentParams, quality_to_quant_index
 from webp_tpu.encode.vp8 import Vp8Encoder
-from webp_tpu.ops.encode_wavefront import EncParams, EncTables, encode_analysis_frame
+from webp_tpu.ops.encode_wavefront import EncParams, EncTables
 from webp_tpu.ops.encode_wavefront2 import encode_analysis_batch_v2
 from webp_tpu.ops.yuv import rgb_to_yuv420
 
@@ -30,27 +30,6 @@ def _python_arrays(y, u, v, w, h, q, method):
     enc.stats = C.ProbaStats()
     enc._setup_segments(qi)
     return enc, enc._analysis_arrays()
-
-
-@pytest.mark.parametrize("q", [40, 75])
-def test_device_analysis_equals_python(goldens, q):
-    src = load_png(goldens / "gallery1" / "1.png")[:96, :112].copy()
-    y, u, v = rgb_to_yuv420(src)
-    h, w = src.shape[:2]
-    mbw, mbh = (w + 15) // 16, (h + 15) // 16
-
-    enc, py = _python_arrays(y, u, v, w, h, q, 3)
-
-    out = encode_analysis_frame(
-        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-        EncParams(enc.seg), EncTables.default(), mbw, mbh, 3,
-    )
-    dev = {k: np.asarray(val) for k, val in out.items()}
-
-    for key in ("luma_mode", "chroma_mode", "y_levels", "y2_levels", "uv_levels"):
-        np.testing.assert_array_equal(dev[key], py[key], err_msg=key)
-    b_mbs = py["luma_mode"] == 4
-    np.testing.assert_array_equal(dev["bpred"][b_mbs], py["bpred"][b_mbs])
 
 
 @pytest.mark.parametrize("q", [40, 75])
@@ -111,3 +90,13 @@ def test_batch_two_pass_equals_python_encoder(goldens):
     want = [Vp8Encoder(75, 4, backend="python").encode(im) for im in imgs]
     for i, (g, w_) in enumerate(zip(got, want)):
         assert g == w_, f"image {i}: {len(g)} vs {len(w_)} bytes"
+
+
+def test_device_backend_segments_end_to_end(goldens):
+    """On images >= 256 MBs the encoder enables k-means segment quantization;
+    the device kernel's per-lane segment params must reproduce the python
+    bitstream exactly (m4: segments + trellis + two-pass)."""
+    src = load_png(goldens / "gallery1" / "1.png")[:256, :320].copy()
+    a = Vp8Encoder(75, 4, backend="python").encode(src)
+    b = Vp8Encoder(75, 4, backend="device").encode(src)
+    assert a == b

@@ -190,18 +190,24 @@ class Vp8Encoder:
     def _analysis_arrays(self):
         """Run mode decision; returns per-MB arrays (device or python)."""
         if self.backend == "device":
-            from ..ops.encode_wavefront import EncTables, EncParams
+            from ..ops.encode_wavefront import EncParams, EncParamsSegs, EncTables
             from ..ops.encode_wavefront2 import encode_analysis_batch_v2
             import jax.numpy as jnp
 
             n_try = 0 if self.method <= 1 else (
                 3 if self.method <= 3 else (4 if self.method == 4 else 10)
             )
+            if self.segments_enabled:
+                P = EncParamsSegs.from_segments([self.segments_list])
+                sid = jnp.asarray(self.segment_map.astype(np.int32))[None]
+            else:
+                P = EncParams(self.seg)
+                sid = None
             out = encode_analysis_batch_v2(
                 jnp.asarray(self.ybuf)[None], jnp.asarray(self.ubuf)[None],
                 jnp.asarray(self.vbuf)[None],
-                EncParams(self.seg), EncTables.from_level_costs(self.level_costs),
-                self.mbw, self.mbh, n_try, self.method >= 4,
+                P, EncTables.from_level_costs(self.level_costs),
+                self.mbw, self.mbh, n_try, self.method >= 4, sid,
             )
             arrays = {k: np.asarray(v[0]).astype(np.int32) for k, v in out.items()}
             # Device path leaves y2 zeroed for B MBs already.
@@ -340,44 +346,20 @@ class Vp8Encoder:
         return levels, ws[1:17, 1:17].copy(), nnz
 
     def _setup_segments(self, base_qi):
-        """DCT-histogram analysis -> k-means segments (>=256 MBs, python
-        backend; reference setup_encoding vp8.rs:2480-2492)."""
+        """DCT-histogram analysis -> k-means segments (>=256 MBs; reference
+        setup_encoding vp8.rs:2480-2492)."""
+        r = setup_segments(self.ybuf, self.ubuf, self.vbuf, self.mbw,
+                           self.mbh, base_qi, self.seg)
+        (self.segments_enabled, self.segments_update_map, self.segment_map,
+         self.segments_list, self.seg_tree_probs) = r
+
+    def _setup_segments_off(self):
         nmb = self.mbw * self.mbh
         self.segments_enabled = False
         self.segments_update_map = False
         self.segment_map = np.zeros(nmb, np.int32)
         self.segments_list = [self.seg] * 4
         self.seg_tree_probs = [255, 255, 255]
-        if nmb < 256 or self.backend == "device":
-            return
-        from .analysis import (
-            analyze_image, assign_segments_kmeans, compute_segment_quant,
-        )
-
-        alphas, histogram = analyze_image(self.ybuf, self.ubuf, self.vbuf, self.mbw, self.mbh)
-        centers, amap, mid = assign_segments_kmeans(histogram, 4)
-        lo, hi = int(centers.min()), int(centers.max())
-        rng = max(hi - lo, 1)
-        self.segment_map = amap[alphas].astype(np.int32)
-        self.segments_list = []
-        for c in centers:
-            t_alpha = min(max(255 * (int(c) - mid) // rng, -127), 127)
-            seg_qi = compute_segment_quant(base_qi, t_alpha)
-            self.segments_list.append(SegmentParams(base_qi, seg_qi - base_qi))
-
-        counts = np.bincount(self.segment_map, minlength=4)
-
-        def proba(a, b):
-            t = a + b
-            return int((255 * a + t // 2) // t) if t else 255
-
-        self.seg_tree_probs = [
-            proba(counts[0] + counts[1], counts[2] + counts[3]),
-            proba(counts[0], counts[1]),
-            proba(counts[2], counts[3]),
-        ]
-        self.segments_enabled = True
-        self.segments_update_map = any(p != 255 for p in self.seg_tree_probs)
 
     def _chroma_error_diffusion(self, dcts, preds, levels, mbx, top_derr, left_derr):
         """Floyd-Steinberg-like DC error diffusion across 2x2 chroma blocks
@@ -673,6 +655,11 @@ class Vp8Encoder:
         modes_out = np.zeros(16, np.int32)
         total_rate = 211  # BMODE_COST initial penalty
         total_disto = 0
+        # I4 header-bit budget (libwebp max_header_bits; reference
+        # vp8.rs:1838-1839, 2016-2018): abandon I4 when the mode headers
+        # alone would cost more than 64 bits/MB.
+        total_mode_cost = 0
+        max_header_bits = 256 * 16 * 16 // 4
         tb = top_bpred[mbx].copy()
         lb = left_bpred.copy()
         wy = ET.VP8_WEIGHT_Y
@@ -730,6 +717,9 @@ class Vp8Encoder:
                 total_disto += int(d[k] + sd[k])
                 running = rd_score(total_rate, total_disto, seg.lambda_mode)
                 if running >= i16_score:
+                    return None
+                total_mode_cost += int(mode_costs[m])
+                if total_mode_cost > max_header_bits:
                     return None
 
         return modes_out, levels_out, ws[1:17, 1:17].copy()
@@ -917,6 +907,45 @@ class Vp8Encoder:
         return bytes(out)
 
 
+def setup_segments(ybuf, ubuf, vbuf, mbw, mbh, base_qi, base_seg):
+    """K-means segment analysis for one image (shared by the single-image
+    encoder and the batch pipeline; reference analysis.rs:1029-1130).
+
+    Returns (enabled, update_map, segment_map [nmb], segments_list [4],
+    seg_tree_probs [3])."""
+    nmb = mbw * mbh
+    if nmb < 256:
+        return False, False, np.zeros(nmb, np.int32), [base_seg] * 4, [255, 255, 255]
+    from .analysis import (
+        analyze_image, assign_segments_kmeans, compute_segment_quant,
+    )
+
+    alphas, histogram = analyze_image(ybuf, ubuf, vbuf, mbw, mbh)
+    centers, amap, mid = assign_segments_kmeans(histogram, 4)
+    lo, hi = int(centers.min()), int(centers.max())
+    rng = max(hi - lo, 1)
+    segment_map = amap[alphas].astype(np.int32)
+    segments_list = []
+    for c in centers:
+        t_alpha = min(max(255 * (int(c) - mid) // rng, -127), 127)
+        seg_qi = compute_segment_quant(base_qi, t_alpha)
+        segments_list.append(SegmentParams(base_qi, seg_qi - base_qi))
+
+    counts = np.bincount(segment_map, minlength=4)
+
+    def proba(a, b):
+        t = a + b
+        return int((255 * a + t // 2) // t) if t else 255
+
+    seg_tree_probs = [
+        proba(counts[0] + counts[1], counts[2] + counts[3]),
+        proba(counts[0], counts[1]),
+        proba(counts[2], counts[3]),
+    ]
+    return True, any(p != 255 for p in seg_tree_probs), segment_map, \
+        segments_list, seg_tree_probs
+
+
 def token_stream(arrays, ctx, mbw, mbh):
     """Assemble (levels [N,16], meta [N,4]) in bitstream block order."""
     nmb = mbw * mbh
@@ -1022,7 +1051,7 @@ def _fetch_packed(packed, planes, fallback):
 
 
 def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
-                               two_pass: bool = True):
+                               two_pass: bool = True, segments: bool = False):
     """Dispatch the batched device RD analysis (async; packed transfer).
 
     Mirrors the reference two-pass flow across a whole batch: pass 1 (no
@@ -1035,6 +1064,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     a caller can overlap the device work of batch i+1 with the host entropy
     coding of batch i.
     """
+    import jax
     import jax.numpy as jnp
 
     from ..ops.encode_wavefront import EncParams, EncTables
@@ -1042,9 +1072,10 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
         encode_analysis_batch_v2,
         encode_analysis_batch_v2_packed,
         encode_analysis_batch_v2_pertbl_packed,
-        stack_enc_tables,
     )
     from . import costs as C
+
+    from ..ops.encode_wavefront import EncParamsSegs
 
     qi = quality_to_quant_index(quality)
     seg = SegmentParams(qi)
@@ -1053,16 +1084,35 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     Y = jnp.asarray(np.stack([p[0] for p in planes]))
     U = jnp.asarray(np.stack([p[1] for p in planes]))
     V = jnp.asarray(np.stack([p[2] for p in planes]))
-    P, TB = EncParams(seg), EncTables.default()
+    TB = EncTables.default()
+
+    # Per-image k-means segment quantization (>= 256 MBs, like the
+    # single-image encoder; the finisher recomputes the same maps for the
+    # headers deterministically).  Off by default in the throughput path:
+    # the segment-quantized kernel variant is bit-exact (single-image device
+    # backend + tests) but its per-lane parameter selects currently blow the
+    # remote XLA compile budget at batch scale.
+    if segments and mbw * mbh >= 256:
+        seg_results = list(
+            _host_pool().map(
+                lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
+                planes,
+            )
+        )
+        P = EncParamsSegs.from_segments([r[3] for r in seg_results])
+        sid = jnp.asarray(np.stack([r[2] for r in seg_results]))
+    else:
+        P = EncParams(seg)
+        sid = None
 
     if not two_pass:
         packed1 = encode_analysis_batch_v2_packed(
-            Y, U, V, P, TB, mbw, mbh, n_try1, method >= 4
+            Y, U, V, P, TB, mbw, mbh, n_try1, method >= 4, sid
         )
 
         def fallback1():
             out = encode_analysis_batch_v2(
-                Y, U, V, P, TB, mbw, mbh, n_try1, method >= 4
+                Y, U, V, P, TB, mbw, mbh, n_try1, method >= 4, sid
             )
             out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
             return [{k: out[k][i] for k in out} for i in range(len(planes))]
@@ -1074,7 +1124,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     # with per-image adapted cost tables.
     from ..ops.encode_wavefront2 import encode_analysis_stats_batch
 
-    stats = encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1)
+    stats = encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1, sid)
 
     def fetch():
         totals, ones = (np.asarray(a).astype(np.int64) for a in stats)
@@ -1091,16 +1141,21 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
 
         tables = enc_tables_from_probs(jnp.asarray(np.stack(probs)))
         packed2 = encode_analysis_batch_v2_pertbl_packed(
-            Y, U, V, P, tables, mbw, mbh, n_try, method >= 4
+            Y, U, V, P, tables, mbw, mbh, n_try, method >= 4, sid
         )
 
         def fallback2():  # pragma: no cover - escape overflow
             outs = []
             for i, p in enumerate(probs):
+                if sid is None:
+                    P_i, sid_i = P, None
+                else:
+                    P_i = jax.tree_util.tree_map(lambda a: a[i : i + 1], P)
+                    sid_i = sid[i : i + 1]
                 out = encode_analysis_batch_v2(
-                    Y[i : i + 1], U[i : i + 1], V[i : i + 1], P,
+                    Y[i : i + 1], U[i : i + 1], V[i : i + 1], P_i,
                     EncTables.from_level_costs(C.cached_level_costs(p)),
-                    mbw, mbh, n_try, method >= 4,
+                    mbw, mbh, n_try, method >= 4, sid_i,
                 )
                 outs.append({k: np.asarray(a[0]).astype(np.int32) for k, a in out.items()})
             return outs
@@ -1112,7 +1167,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
 
 
 def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
-                              two_pass: bool = True) -> list:
+                              two_pass: bool = True, segments: bool = False) -> list:
     """Encode same-geometry RGB frames with batched device analysis.
 
     The wavefront RD search runs as batched kernels (two-pass probability
@@ -1122,11 +1177,16 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
     h, w = rgbs[0].shape[:2]
     planes = list(_host_pool().map(yuvops.rgb_to_yuv420, rgbs))
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
-    fetched = analyze_frames_lossy_batch(planes, quality, method, mbw, mbh, two_pass)()
-    return finish_frames_lossy_batch(planes, fetched, quality, method, w, h)
+    fetched = analyze_frames_lossy_batch(
+        planes, quality, method, mbw, mbh, two_pass, segments
+    )()
+    return finish_frames_lossy_batch(
+        planes, fetched, quality, method, w, h, segments
+    )
 
 
-def finish_frames_lossy_batch(planes, fetched, quality, method, w, h) -> list:
+def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
+                              segments: bool = False) -> list:
     """Host half of the batched encode: probs injection, contexts, entropy.
 
     `fetched` is (arrays, probs) from analyze_frames_lossy_batch: for the
@@ -1140,6 +1200,8 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h) -> list:
         enc = Vp8Encoder(quality, method, backend="device", two_pass=two_pass)
         if two_pass:
             enc.probs_override = probs[i]
+        if not segments:
+            enc._setup_segments = lambda qi: Vp8Encoder._setup_segments_off(enc)
         y, u, v = planes[i]
         enc._analysis_arrays = lambda a=arrays_list[i]: dict(a)
         return enc.encode_yuv(y, u, v, w, h)

@@ -1,0 +1,64 @@
+"""Quality metrics for the RD harness: PSNR and DSSIM.
+
+DSSIM here is the classic Gaussian-windowed SSIM turned into a
+dissimilarity (1/ssim - 1), computed per RGB channel and averaged — the
+same scale the reference's quality gates use (its `dssim` crate scores are
+also 1/ssim-1 based), though not byte-compatible with that crate's
+linear-light LAB pipeline. Used for equal-size quality-floor tests
+(reference tests/lossy_encoder_quality.rs:161-380).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _gaussian_kernel(sigma: float = 1.5, radius: int = 5) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    return k / k.sum()
+
+
+def _filter2_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 'valid' convolution of [H, W] with the 1-D kernel k."""
+    r = (len(k) - 1) // 2
+    # rows
+    out = np.zeros((img.shape[0] - 2 * r, img.shape[1]), np.float64)
+    for i, kv in enumerate(k):
+        out += kv * img[i : i + out.shape[0], :]
+    out2 = np.zeros((out.shape[0], img.shape[1] - 2 * r), np.float64)
+    for i, kv in enumerate(k):
+        out2 += kv * out[:, i : i + out2.shape[1]]
+    return out2
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    """Mean SSIM of two [H, W] planes (Gaussian 11x11, K1=.01, K2=.03)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    k = _gaussian_kernel()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a = _filter2_sep(a, k)
+    mu_b = _filter2_sep(b, k)
+    saa = _filter2_sep(a * a, k) - mu_a**2
+    sbb = _filter2_sep(b * b, k) - mu_b**2
+    sab = _filter2_sep(a * b, k) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
+    return float((num / den).mean())
+
+
+def dssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Per-channel mean 1/ssim - 1 (0 = identical; lower is better)."""
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+    scores = [ssim(a[..., c], b[..., c]) for c in range(a.shape[-1])]
+    s = float(np.mean(scores))
+    return 1.0 / max(s, 1e-9) - 1.0

@@ -262,6 +262,47 @@ def _dequant_zz(levels, q):
     return (levels * q)[..., _IZZ_J]
 
 
+# Segment support: quant vectors / lambdas may be per-lane ([R,B,16] / [R,B])
+# instead of shared ([16] / int).  _ex/_exl insert the broadcast axes a call
+# site needs; shared values pass through untouched.
+
+def _ex(v, n: int):
+    if getattr(v, "ndim", 1) <= 1:
+        return v
+    return v.reshape(*v.shape[:-1], *(1,) * n, v.shape[-1])
+
+
+def _exl(lam, n: int):
+    if isinstance(lam, (int, np.integer)) or getattr(lam, "ndim", 0) == 0:
+        return lam
+    return lam.reshape(*lam.shape, *(1,) * n)
+
+
+class _LaneParams:
+    pass
+
+
+def _lane_params(P, sid):
+    """EncParamsSegs ([B,4,16]/[B,4] leaves) + sid [R,B] -> per-lane params
+    ([R,B,16] vectors, [R,B] lambdas) via 4-way selects."""
+    from .encode_wavefront import EncParamsSegs
+
+    lp = _LaneParams()
+    for name in EncParamsSegs._VECS:
+        arr = getattr(P, name)  # [.., 4, 16] (optionally image-leading)
+        v = jnp.broadcast_to(arr[..., 0, :], (*sid.shape, arr.shape[-1]))
+        for s in range(1, 4):
+            v = jnp.where((sid == s)[..., None], arr[..., s, :], v)
+        setattr(lp, name, v)
+    for name in EncParamsSegs._LAMS:
+        arr = getattr(P, name)  # [.., 4]
+        v = jnp.broadcast_to(arr[..., 0], sid.shape)
+        for s in range(1, 4):
+            v = jnp.where(sid == s, arr[..., s], v)
+        setattr(lp, name, v)
+    return lp
+
+
 def _t_transform(blocks4, w):
     """Hadamard |.|-weighted sum of [..., 4, 4] blocks -> [...]."""
     b = blocks4.astype(jnp.int32)
@@ -322,20 +363,21 @@ def _i16_search_v2(a16, left16, tl, src, has_above, has_left, P, tbl):
     resid = src[..., None, :, :] - pred4  # [R,B,4,16,16]
     dct = jax_ops.dct4x4(_blocks16(resid))  # [R,B,4,16,16]
     y2 = jax_ops.wht4x4(dct[..., 0])  # [R,B,4,16]
-    y2_lv = _quant_zz(y2, P.y2_iq, P.y2_bias)
-    y_lv = _quant_zz(dct, P.y1_iq, P.y1_bias).at[..., 0].set(0)
+    y2_lv = _quant_zz(y2, _ex(P.y2_iq, 1), _ex(P.y2_bias, 1))
+    y_lv = _quant_zz(dct, _ex(P.y1_iq, 2), _ex(P.y1_bias, 2)).at[..., 0].set(0)
     cost = residual_costs_par(y2_lv, 1, 0, 0, tbl) + residual_costs_par(
         y_lv, 0, 1, 0, tbl
     ).sum(-1)
 
-    y2_r = jax_ops.iwht4x4(_dequant_zz(y2_lv, P.y2_q))
-    blk = _dequant_zz(y_lv, P.y1_q).at[..., 0].set(y2_r)
+    y2_r = jax_ops.iwht4x4(_dequant_zz(y2_lv, _ex(P.y2_q, 1)))
+    blk = _dequant_zz(y_lv, _ex(P.y1_q, 2)).at[..., 0].set(y2_r)
     rec = _clip255(pred4 + _spatial16(jax_ops.idct4x4(blk)))
     d = ((rec - src[..., None, :, :]) ** 2).sum((-1, -2))
     tsrc = _t_transform(_blocks16(src).reshape(R, B, 16, 4, 4), tbl.weight_y)
     trec = _t_transform(_blocks16(rec).reshape(R, B, 4, 16, 4, 4), tbl.weight_y)
     td = (jnp.abs(trec - tsrc[:, :, None]) >> 5).sum(-1)  # [R,B,4]
-    sd = jnp.where(P.tlambda > 0, (P.tlambda * td + 128) >> 8, 0)
+    tl1 = _exl(P.tlambda, 1)
+    sd = jnp.where(tl1 > 0, (tl1 * td + 128) >> 8, 0)
 
     is_flat = (src == src[..., 0:1, 0:1]).all((-1, -2))
     flat_pen = is_flat[..., None] & ((y_lv[..., 1:] != 0).sum((-1, -2)) <= 0)
@@ -347,7 +389,7 @@ def _i16_search_v2(a16, left16, tl, src, has_above, has_left, P, tbl):
         axis=-1,
     )
     scores = jnp.where(
-        allowed, _rd_score32(tbl.fixed_i16 + cost, d + sd, P.lambda_i16), BIG
+        allowed, _rd_score32(tbl.fixed_i16 + cost, d + sd, _exl(P.lambda_i16, 1)), BIG
     )
     best = jnp.argmin(scores, axis=-1)  # [R,B]
     final = _rd_score32(
@@ -381,7 +423,8 @@ def _i16_trellis_v2(dct, y2_lv, pred, top_cy, left_cy, P, tbl):
 
     R, B = dct.shape[:2]
     lv3, nz3 = trellis_spec3(
-        dct, P.y1_q, P.y1_iq, P.y1_sharpen, P.lambda_trellis_i16, 0, 1,
+        dct, _ex(P.y1_q, 1), _ex(P.y1_iq, 1), _ex(P.y1_sharpen, 1),
+        _exl(P.lambda_trellis_i16, 1), 0, 1,
         tbl.cls_cost[0], tbl.eob_cost[0], tbl.init_cost[0],
     )  # [R,B,16,3,16], [R,B,16,3]
     nz3 = nz3.astype(jnp.int32)
@@ -408,7 +451,7 @@ def _i16_trellis_v2(dct, y2_lv, pred, top_cy, left_cy, P, tbl):
     y_lv = jnp.stack(levels, axis=2)  # [R,B,16,16]
 
     y2_r = jax_ops.iwht4x4(_dequant_zz(y2_lv, P.y2_q))
-    blk = _dequant_zz(y_lv, P.y1_q).at[..., 0].set(y2_r)
+    blk = _dequant_zz(y_lv, _ex(P.y1_q, 1)).at[..., 0].set(y2_r)
     rec = _clip255(pred + _spatial16(jax_ops.idct4x4(blk)))
     nnz_flat = jnp.stack([nnz[i // 4][i % 4] for i in range(16)], axis=-1)
     return y_lv, rec, nnz_flat
@@ -536,7 +579,7 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
     arange10 = jnp.arange(10, dtype=jnp.int32)
 
     def body(carry, x):
-        ws, tb, lb, rate, disto, ok = carry
+        ws, tb, lb, rate, disto, tmc, ok = carry
         i, src4, tsrc = x
         sby, sbx = i // 4, i % 4
         preds = _i4_preds_from_ws(ws, sby, sbx)
@@ -555,13 +598,14 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
 
         resid = src4[..., None, :] - cand
         dct = jax_ops.dct4x4(resid)
-        lv = _quant_zz(dct, P.y1_iq, P.y1_bias)  # [R,B,K,16]
+        lv = _quant_zz(dct, _ex(P.y1_iq, 1), _ex(P.y1_bias, 1))  # [R,B,K,16]
         cc = residual_costs_par(lv, 3, 0, 0, tbl)
-        rec = _clip255(cand + jax_ops.idct4x4(_dequant_zz(lv, P.y1_q)))
+        rec = _clip255(cand + jax_ops.idct4x4(_dequant_zz(lv, _ex(P.y1_q, 1))))
         d = ((rec - src4[..., None, :]) ** 2).sum(-1)
         trec = _t_transform(rec.reshape(R, B, n_try, 4, 4), tbl.weight_y)
         td = jnp.abs(trec - tsrc[..., None]) >> 5
-        sd = jnp.where(P.tlambda > 0, (P.tlambda * td + 128) >> 8, 0)
+        tl1 = _exl(P.tlambda, 1)
+        sd = jnp.where(tl1 > 0, (tl1 * td + 128) >> 8, 0)
 
         # Mode header cost: VP8_FIXED_COSTS_I4[top][left][mode] as one-hot
         # contractions instead of a per-lane gather (byte-split: exact).
@@ -573,7 +617,7 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         mode_costs = _split_einsum("rbkm,rbm->rbk", mc_all, oh_k)
 
         rates = cc + mode_costs
-        scores = _rd_score32(rates, d + sd, P.lambda_i4)
+        scores = _rd_score32(rates, d + sd, _exl(P.lambda_i4, 1))
         # argmin over candidates in SSE-rank order == python's pick (among
         # score ties the earliest candidate wins).
         k = jnp.argmin(scores, axis=-1)
@@ -589,18 +633,23 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         lb = jax.lax.dynamic_update_slice(lb, m[..., None], (0, 0, sby))
         rate = rate + pick1(rates)
         disto = disto + pick1(d) + pick1(sd)
+        tmc = tmc + pick1(mode_costs)
+        # Early-exit + the I4 header-bit budget (libwebp max_header_bits,
+        # 64 bits/MB; reference vp8.rs:1838-1839, 2016-2018).
         ok = ok & (_rd_score32(rate, disto, P.lambda_mode) < i16_score)
-        return (ws, tb, lb, rate, disto, ok), (m, lv_k)
+        ok = ok & (tmc <= 256 * 16 * 16 // 4)
+        return (ws, tb, lb, rate, disto, tmc, ok), (m, lv_k)
 
     init = (
         ws0, tb0, lb0,
         jnp.full((R, B), 211, jnp.int32),  # BMODE initial penalty
         jnp.zeros((R, B), jnp.int32),
+        jnp.zeros((R, B), jnp.int32),
         jnp.ones((R, B), bool),
     )
     src_x = jnp.moveaxis(src_blocks, 2, 0)  # [16, R, B, 16]
     tsrc_x = jnp.moveaxis(tsrc_all, 2, 0)  # [16, R, B]
-    (ws, tb, lb, rate, disto, ok), (ms, lvs) = jax.lax.scan(
+    (ws, tb, lb, rate, disto, tmc, ok), (ms, lvs) = jax.lax.scan(
         body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x)
     )
     return (
@@ -626,8 +675,10 @@ def _uv_search_v2(a8, left8, tlc, src_c, has_above, has_left, P, tbl):
     )  # [R,B,2,4,8,8]
     resid = src_c[..., None, :, :] - pred4
     dct = jax_ops.dct4x4(_blocks8(resid))  # [R,B,2,4modes,4blk,16]
-    lv = _quant_zz(dct, P.uv_iq, P.uv_bias)
-    rec = _clip255(pred4 + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, P.uv_q))))
+    lv = _quant_zz(dct, _ex(P.uv_iq, 3), _ex(P.uv_bias, 3))
+    rec = _clip255(
+        pred4 + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, _ex(P.uv_q, 3))))
+    )
     d = ((rec - src_c[..., None, :, :]) ** 2).sum((-1, -2)).sum(-2)  # [R,B,4]
     lv_m = jnp.swapaxes(lv, 2, 3)  # [R,B,4modes,2,4,16]
     cost = residual_costs_par(lv_m, 2, 0, 0, tbl).sum((-1, -2))  # [R,B,4]
@@ -639,7 +690,7 @@ def _uv_search_v2(a8, left8, tlc, src_c, has_above, has_left, P, tbl):
         [jnp.ones_like(has_above), has_above, has_left, has_above & has_left],
         axis=-1,
     )
-    scores = jnp.where(allowed, _rd_score32(rate, d, P.lambda_uv), BIG)
+    scores = jnp.where(allowed, _rd_score32(rate, d, _exl(P.lambda_uv, 1)), BIG)
     best = jnp.argmin(scores, axis=-1)  # [R,B]
     bb = best[:, :, None, None, None]
     dct_k = dct[:, :, :, 0]
@@ -656,9 +707,11 @@ def _chroma_diffusion_v2(dct, pred, P, top_err, left_err):
     dct [R,B,2,4,16], pred [R,B,2,8,8]; top_err/left_err [R,B,2,2] int32.
     Returns (levels [R,B,2,4,16], rec [R,B,2,8,8], new_top, new_left).
     """
-    q = P.uv_q[0]
-    iq = P.uv_iq[0]
-    bias = P.uv_bias[0]
+    # diffuse() runs on [R,B,2ch] values: per-lane DC quant params need one
+    # broadcast axis for the channel dim (shared params pass through).
+    q = _exl(P.uv_q[..., 0], 1)
+    iq = _exl(P.uv_iq[..., 0], 1)
+    bias = _exl(P.uv_bias[..., 0], 1)
     dc = dct[..., 0]  # [R,B,2,4]
 
     def diffuse(dcv, t_err, l_err):
@@ -679,8 +732,10 @@ def _chroma_diffusion_v2(dct, pred, P, top_err, left_err):
     new_top = jnp.stack([e2, e3 - nl1], axis=-1)
 
     dct = dct.at[..., 0].set(jnp.stack([dc0, dc1, dc2, dc3], axis=-1))
-    lv = _quant_zz(dct, P.uv_iq, P.uv_bias)
-    rec = _clip255(pred + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, P.uv_q))))
+    lv = _quant_zz(dct, _ex(P.uv_iq, 2), _ex(P.uv_bias, 2))
+    rec = _clip255(
+        pred + _spatial8(jax_ops.idct4x4(_dequant_zz(lv, _ex(P.uv_q, 2))))
+    )
     return lv, rec, new_top, new_left
 
 
@@ -710,7 +765,7 @@ def enc_init_state(mbh: int, batch: int, do_trellis: bool = False):
 
 
 def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int,
-             do_trellis: bool = False):
+             do_trellis: bool = False, sid=None):
     """One lane-aligned encoder wavefront step.
 
     src [R,B,16,16] int32 luma source of MB (t-2r, r); src_c [R,B,2,8,8].
@@ -719,8 +774,13 @@ def enc_step(state, t, src, src_c, P, tbl, mbw: int, n_try: int,
     by the trellis DP with exact neighbor contexts and the reconstruction
     (and thus the wavefront's borders) follows the trellis output — the same
     flow as `Vp8Encoder._analysis_pass` at method >= 4.
+
+    With `sid` ([R,B] segment ids), P must be an EncParamsSegs and every
+    quantizer/lambda becomes per-lane (segment-modulated quantization).
     """
     R, B = src.shape[:2]
+    if sid is not None:
+        P = _lane_params(P, sid)
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     x = t - 2 * rows
     at_x0 = x == 0
@@ -853,10 +913,12 @@ def _mb_tiles(plane, mb: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
+@functools.partial(
+    jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis")
+)
 def encode_analysis_batch_v2(
     ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
-    do_trellis: bool = False,
+    do_trellis: bool = False, segment_ids=None,
 ):
     """Batched lane-aligned RD analysis: [B, ...] planes -> per-MB decisions.
 
@@ -879,11 +941,24 @@ def encode_analysis_batch_v2(
 
     state = enc_init_state(mbh, Bn, do_trellis)
 
-    def step(state, inp):
-        t, src, src_c = inp
-        return enc_step(state, t, src, src_c, P, tbl, mbw, n_try, do_trellis)
+    if segment_ids is None:
+        def step(state, inp):
+            t, src, src_c = inp
+            return enc_step(state, t, src, src_c, P, tbl, mbw, n_try, do_trellis)
 
-    _, outs = jax.lax.scan(step, state, (jnp.arange(T_), src_s, srcc_s))
+        _, outs = jax.lax.scan(step, state, (jnp.arange(T_), src_s, srcc_s))
+    else:
+        sid_s = schedule_mb_data(segment_ids.astype(jnp.int32), idx)  # [T,R,B]
+
+        def step(state, inp):
+            t, src, src_c, sid = inp
+            return enc_step(
+                state, t, src, src_c, P, tbl, mbw, n_try, do_trellis, sid
+            )
+
+        _, outs = jax.lax.scan(
+            step, state, (jnp.arange(T_), src_s, srcc_s, sid_s)
+        )
     lmode, cmode, bp, ylv, y2lv, uvlv = outs
 
     # Inverse schedule: MB (x, y) was produced at step x + 2y, row y.
@@ -916,7 +991,7 @@ N_ESC = 4  # escape slots per MB (levels outside int8 range are rare)
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
 def encode_analysis_batch_v2_packed(
     ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
-    do_trellis: bool = False,
+    do_trellis: bool = False, segment_ids=None,
 ):
     """Analysis with device-side packing for the narrow host tunnel.
 
@@ -927,7 +1002,8 @@ def encode_analysis_batch_v2_packed(
     never in practice).  Fetch: 400 + 18 + 16 bytes/MB vs 818 unpacked.
     """
     out = encode_analysis_batch_v2.__wrapped__(
-        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try, do_trellis
+        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try,
+        do_trellis, segment_ids,
     )
     lv = jnp.concatenate(
         [
@@ -967,7 +1043,7 @@ def encode_analysis_batch_v2_packed(
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
 def encode_analysis_batch_v2_pertbl_packed(
     ybufs, ubufs, vbufs, params_tree, tables_batched, mbw: int, mbh: int,
-    n_try: int, do_trellis: bool = False,
+    n_try: int, do_trellis: bool = False, segment_ids=None,
 ):
     """Packed analysis with PER-IMAGE cost tables (two-pass second pass:
     each image's probabilities were adapted from its own pass-1 stats).
@@ -976,15 +1052,26 @@ def encode_analysis_batch_v2_pertbl_packed(
     image axis (stack per-image EncTables with jax.tree_util.tree_map).
     """
 
-    def one(y, u, v, tbl):
-        return encode_analysis_batch_v2_packed.__wrapped__(
-            y[None], u[None], v[None], params_tree, tbl, mbw, mbh, n_try,
-            do_trellis,
-        )
+    if segment_ids is None:
+        def one(y, u, v, tbl):
+            return encode_analysis_batch_v2_packed.__wrapped__(
+                y[None], u[None], v[None], params_tree, tbl, mbw, mbh, n_try,
+                do_trellis,
+            )
 
-    lv8, meta8, esc_pos, esc_val, overflow = jax.vmap(one)(
-        ybufs, ubufs, vbufs, tables_batched
-    )
+        lv8, meta8, esc_pos, esc_val, overflow = jax.vmap(one)(
+            ybufs, ubufs, vbufs, tables_batched
+        )
+    else:
+        def one(y, u, v, tbl, p1, sid):
+            return encode_analysis_batch_v2_packed.__wrapped__(
+                y[None], u[None], v[None], p1, tbl, mbw, mbh, n_try,
+                do_trellis, sid[None],
+            )
+
+        lv8, meta8, esc_pos, esc_val, overflow = jax.vmap(one)(
+            ybufs, ubufs, vbufs, tables_batched, params_tree, segment_ids
+        )
     return lv8[:, 0], meta8[:, 0], esc_pos[:, 0], esc_val[:, 0], overflow[:, 0]
 
 
@@ -1065,7 +1152,8 @@ def enc_tables_from_probs(probs_u8):
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try"))
 def encode_analysis_stats_batch(
-    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
+    segment_ids=None,
 ):
     """Pass-1 analysis fused with on-device token statistics.
 
@@ -1076,7 +1164,8 @@ def encode_analysis_stats_batch(
     from .token_stats import token_stats_device
 
     out = encode_analysis_batch_v2.__wrapped__(
-        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try, False
+        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try, False,
+        segment_ids,
     )
     lm = out["luma_mode"].astype(jnp.int32)
     y2 = out["y2_levels"].astype(jnp.int32)
