@@ -59,7 +59,6 @@ _ZZ_J = jnp.asarray(ZZ)
 
 # Token classes over clamped levels vc = min(v, 67): 0,1,2,3,4,cat1..cat6.
 _CLS_THRESH = np.array([1, 2, 3, 4, 5, 7, 11, 19, 35, 67], np.int32)
-_CLS_REPS = np.array([0, 1, 2, 3, 4, 5, 7, 11, 19, 35, 67], np.int32)
 
 # Per-category extra-bits cost tables: value = base[cat] + extra, and the
 # extra bits are coded MSB-first with PROB_DCT_CAT.  CL1/CL0[cat][j] is the
@@ -104,8 +103,6 @@ def _build_fixed_decomp():
 
 
 _CL0_np, _CL1_np, _FIXED_CORR = _build_fixed_decomp()
-_CL0 = jnp.asarray(_CL0_np)  # [6, 11]
-_CL1 = jnp.asarray(_CL1_np)
 
 
 def _cat_select(cat, table_np):

@@ -195,7 +195,6 @@ def token_stats_device(luma_mode, y2_levels, y_levels, uv_levels, skipped,
     act = ~skipped
 
     def img_stats(lm_y2v, y2c, yv, yc, uvv, uvc, a, hy2):
-        tots, oness = [], []
         # ctype 1: Y2 blocks (first=0) where has_y2 & active.
         t, o, c = _block_events(
             jnp.abs(lm_y2v.astype(jnp.int32)),

@@ -40,8 +40,6 @@ def _band_shifts(axis: str):
     ppermute leaves non-receiving devices with zeros — exactly the local
     shifts' edge convention, so band 0 / band n-1 behave like frame edges.
     """
-    n = jax.device_count() if axis is None else None  # resolved inside
-
     def shift_down(a):
         nb = jax.lax.psum(1, axis)
         prev_last = jax.lax.ppermute(
