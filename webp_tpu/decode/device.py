@@ -172,7 +172,18 @@ def dispatch_decode_batch(payloads):
     backend = _decode_backend()
     h0 = batch["headers"][0]
     geo = (int(h0[2]), int(h0[3]), bool(h0[4]), int(h0[0]), int(h0[1]))
-    if batch["i8buf"] is not None:
+    if batch["bitmap"] is not None:
+        return _device_decode_sparse8(
+            jnp.asarray(batch["bitmap"]),
+            jnp.asarray(batch["vals"]),
+            jnp.asarray(batch["esc_pos"]),
+            jnp.asarray(batch["esc_val"]),
+            jnp.asarray(batch["qtab"]),
+            jnp.asarray(batch["u8buf"]),
+            *geo,
+            backend,
+        )
+    if batch["i8buf"] is not None:  # pragma: no cover - sparse overflow
         return _device_decode_levels8(
             jnp.asarray(batch["i8buf"]),
             jnp.asarray(batch["esc_pos"]),
@@ -270,8 +281,14 @@ def parse_levels_batch(payloads):
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     nmb = mbw * mbh
 
+    from ..ops import sparse
+
+    cap = sparse.cap_for(nmb)
     i16buf = np.zeros((B, nmb * 400 + 4 * 400), np.int16)
     i8buf = np.zeros((B, nmb * 400), np.int8)
+    bitmap = np.zeros((B, nmb * 50), np.uint8)
+    vals = np.zeros((B, cap), np.int8)
+    sparse_ok = np.zeros(B, bool)
     # Unused escape slots point one past the end -> dropped by the scatter.
     esc_pos = np.full((B, N_ESC_DEC), nmb * 400, np.int32)
     esc_val = np.zeros((B, N_ESC_DEC), np.int16)
@@ -314,6 +331,11 @@ def parse_levels_batch(payloads):
         view8(b, "interior")[:] = it
         view8(b, "hev")[:] = hv
         i8buf[b] = np.clip(levels, -128, 127).astype(np.int8)
+        bm, vl, ok = sparse.host_pack_levels(i8buf[b], cap)
+        if ok:
+            bitmap[b] = bm
+            vals[b] = vl
+            sparse_ok[b] = True
         big = np.flatnonzero(np.abs(levels) > 127)
         if len(big) > N_ESC_DEC:
             overflow[b] = True
@@ -324,9 +346,12 @@ def parse_levels_batch(payloads):
     list(_parse_pool().map(one, range(B)))
     qtab_all = i16buf[:, nmb * 400 :].copy()
     any_over = bool(overflow.any())
+    all_sparse = bool(sparse_ok.all()) and not any_over
     return dict(
         i16buf=i16buf,
         i8buf=None if any_over else i8buf,
+        bitmap=bitmap if all_sparse else None,
+        vals=vals if all_sparse else None,
         esc_pos=esc_pos,
         esc_val=esc_val,
         qtab=qtab_all,
@@ -363,6 +388,27 @@ def _device_decode_levels(
     nmb = mbw * mbh
     levels = i16buf[:, : nmb * 400].reshape(B, nmb, 25, 16)
     qtab = i16buf[:, nmb * 400 :]
+    return _decode_core(levels, qtab, u8buf, mbw, mbh, simple, width, height, backend)
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
+def _device_decode_sparse8(
+    bitmap, vals, esc_pos, esc_val, qtab, u8buf,
+    mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+):
+    """Sparse bitmap+vals levels + escape list -> RGB (the upload fast path).
+
+    The bitmap/vals pair carries the int8-clipped levels (ops/sparse.py wire
+    format); the escape list then restores values outside int8 range, exactly
+    as in the dense int8 path.
+    """
+    from ..ops.sparse import device_expand_levels
+
+    B = bitmap.shape[0]
+    nmb = mbw * mbh
+    lv = device_expand_levels(bitmap, vals, nmb * 400).astype(jnp.int16)
+    lv = lv.at[jnp.arange(B)[:, None], esc_pos].set(esc_val, mode="drop")
+    levels = lv.reshape(B, nmb, 25, 16)
     return _decode_core(levels, qtab, u8buf, mbw, mbh, simple, width, height, backend)
 
 

@@ -1037,17 +1037,28 @@ def _host_pool():
 
 
 def _fetch_packed(packed, planes, fallback):
-    from ..ops.encode_wavefront2 import unpack_analysis
+    """Fetch the device analysis results over the sparse wire format.
 
-    lv8, meta8, esc_pos, esc_val, overflow = (np.asarray(a) for a in packed)
+    The dense int8 level array stays device-resident; only the rows of
+    images whose nonzero count overflowed the sparse budget are fetched.
+    """
+    from ..ops.encode_wavefront2 import unpack_analysis, unpack_analysis_sparse
+
+    lv8_dev, bitmap_dev, vals_dev, sp_over, meta8, esc_pos, esc_val, overflow = packed
+    overflow = np.asarray(overflow)
     if overflow.any():  # pragma: no cover - >N_ESC escapes in one MB
         return fallback()
-    return list(
-        _host_pool().map(
-            lambda i: unpack_analysis(lv8[i], meta8[i], esc_pos[i], esc_val[i]),
-            range(len(planes)),
-        )
+    sp_over = np.asarray(sp_over)
+    bitmap, vals, meta8, esc_pos, esc_val = (
+        np.asarray(a) for a in (bitmap_dev, vals_dev, meta8, esc_pos, esc_val)
     )
+
+    def one(i):
+        if sp_over[i]:  # pragma: no cover - >cap nonzeros in one image
+            return unpack_analysis(np.asarray(lv8_dev[i]), meta8[i], esc_pos[i], esc_val[i])
+        return unpack_analysis_sparse(bitmap[i], vals[i], meta8[i], esc_pos[i], esc_val[i])
+
+    return list(_host_pool().map(one, range(len(planes))))
 
 
 def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,

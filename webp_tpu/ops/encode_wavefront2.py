@@ -992,11 +992,15 @@ def encode_analysis_batch_v2_packed(
 ):
     """Analysis with device-side packing for the narrow host tunnel.
 
-    Levels ship as int8 (|level| <= 127 covers virtually everything at
-    normal qualities) plus up to N_ESC per-MB escape (position, int16 value)
-    pairs; `overflow[b]` flags an image whose escapes didn't fit (the caller
-    falls back to the plain int16 variant — compiled lazily, essentially
-    never in practice).  Fetch: 400 + 18 + 16 bytes/MB vs 818 unpacked.
+    Levels ship sparse — a nonzero bitmap plus the nonzero int8 values in
+    slot order (ops/sparse.py wire format: 50 + 128 bytes/MB vs 400 dense;
+    measured density is ~93 nonzeros/MB at Q75 m4) — plus up to N_ESC per-MB
+    escape (position, int16 value) pairs for |level| > 127.  `sp_over[b]`
+    flags an image whose nonzero count exceeded the sparse budget: the
+    caller fetches that image's row of the dense int8 array instead (it is
+    returned device-resident and costs nothing unless fetched).
+    `overflow[b]` flags an image whose escapes didn't fit (the caller falls
+    back to the plain int16 variant — compiled lazily, essentially never).
     """
     out = encode_analysis_batch_v2.__wrapped__(
         ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try,
@@ -1034,7 +1038,14 @@ def encode_analysis_batch_v2_packed(
     )  # [B, nmb, 18] uint8
     esc_pos = jnp.stack(pos_list, axis=-1)  # [B, nmb, N_ESC] int16
     esc_val = jnp.stack(val_list, axis=-1)
-    return lv8, meta8, esc_pos, esc_val, overflow
+
+    from .sparse import cap_for, device_pack_levels
+
+    nmb = mbw * mbh
+    bitmap, vals, sp_over = device_pack_levels(
+        lv8.reshape(-1, nmb * 400), cap_for(nmb)
+    )
+    return lv8, bitmap, vals, sp_over, meta8, esc_pos, esc_val, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
@@ -1056,9 +1067,7 @@ def encode_analysis_batch_v2_pertbl_packed(
                 do_trellis,
             )
 
-        lv8, meta8, esc_pos, esc_val, overflow = jax.vmap(one)(
-            ybufs, ubufs, vbufs, tables_batched
-        )
+        outs = jax.vmap(one)(ybufs, ubufs, vbufs, tables_batched)
     else:
         def one(y, u, v, tbl, p1, sid):
             return encode_analysis_batch_v2_packed.__wrapped__(
@@ -1066,10 +1075,10 @@ def encode_analysis_batch_v2_pertbl_packed(
                 do_trellis, sid[None],
             )
 
-        lv8, meta8, esc_pos, esc_val, overflow = jax.vmap(one)(
+        outs = jax.vmap(one)(
             ybufs, ubufs, vbufs, tables_batched, params_tree, segment_ids
         )
-    return lv8[:, 0], meta8[:, 0], esc_pos[:, 0], esc_val[:, 0], overflow[:, 0]
+    return tuple(a[:, 0] for a in outs)
 
 
 def stack_enc_tables(tables_list):
@@ -1174,6 +1183,16 @@ def encode_analysis_stats_batch(
         & (y2 == 0).all(axis=-1)
     )
     return token_stats_device.__wrapped__(lm, y2, y, uv, skipped, mbw, mbh)
+
+
+def unpack_analysis_sparse(bitmap, vals, meta8, esc_pos, esc_val):
+    """Host-side unpack of the SPARSE transfer -> the plain arrays dict
+    for ONE image (numpy inputs; bitmap [nmb*50] uint8, vals [cap] int8)."""
+    from .sparse import host_expand_levels
+
+    nmb = meta8.shape[0]
+    lv8 = host_expand_levels(bitmap, vals, nmb * 400).reshape(nmb, 400)
+    return unpack_analysis(lv8, meta8, esc_pos, esc_val)
 
 
 def unpack_analysis(lv8, meta8, esc_pos, esc_val):

@@ -1,0 +1,104 @@
+"""Sparse transfer format for coefficient levels across the host<->device link.
+
+Quantized levels are ~75-90% zeros at normal qualities (measured 93 nonzeros
+per MB at Q75 method-4 on the Kodak bench geometry, i.e. 23% of the 400
+level slots per macroblock). Shipping them dense wastes the narrow
+host<->device link, which is the pipeline's binding constraint (NOTES.md).
+
+Wire format per image (flat level vector of length N = nmb*400):
+  bitmap: uint8 [N/8]   one bit per level slot, np.packbits order (MSB first)
+  vals:   int8  [CAP]   the nonzero levels in slot order, zero padded
+CAP is static per geometry (128 per MB = 32% density) so kernels compile
+once; an image whose nonzero count exceeds CAP falls back to the dense path.
+
+Both directions use it: the decoder's host entropy pass packs on the host
+(numpy) and the device expands; the encoder's analysis kernel compacts on the
+device (cumsum + searchsorted, gather-only — no scatter) and the host expands.
+
+The dense<->sparse mapping covers the int8-clipped levels; values outside
+int8 range ride the existing per-MB escape lists and are re-applied after
+expansion on either side (see decode/device.py, ops/encode_wavefront2.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cap_for(nmb: int) -> int:
+    """Static nonzero budget per image: 128 level slots per macroblock."""
+    return nmb * 128
+
+
+# ---------------------------------------------------------------------------
+# device side
+# ---------------------------------------------------------------------------
+
+_BIT_SHIFTS = tuple(range(7, -1, -1))  # np.packbits default: MSB first
+
+
+def device_pack_levels(flat_i8, cap: int):
+    """[B, N] int8 -> (bitmap uint8 [B, N/8], vals int8 [B, cap], overflow [B]).
+
+    Gather-only compaction: vals[k] = flat[searchsorted(cumsum(mask), k+1)],
+    i.e. the position of the (k+1)-th nonzero. No scatter (TPU-unfriendly).
+    """
+    B, N = flat_i8.shape
+    assert N % 8 == 0
+    mask = flat_i8 != 0
+    m8 = mask.reshape(B, N // 8, 8)
+    weights = jnp.array([1 << s for s in _BIT_SHIFTS], jnp.int32)
+    bitmap = (m8.astype(jnp.int32) * weights).sum(-1).astype(jnp.uint8)
+
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    ks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+
+    def one(cs_b, flat_b):
+        idx = jnp.searchsorted(cs_b, ks, side="left")
+        v = flat_b[jnp.clip(idx, 0, N - 1)]
+        return jnp.where(idx < N, v, 0)
+
+    vals = jax.vmap(one)(cs, flat_i8)
+    overflow = cs[:, -1] > cap
+    return bitmap, vals, overflow
+
+
+def device_expand_levels(bitmap, vals, n: int):
+    """(bitmap uint8 [B, n/8], vals int8 [B, cap]) -> dense int8 [B, n]."""
+    B = bitmap.shape[0]
+    cap = vals.shape[-1]
+    shifts = jnp.array(_BIT_SHIFTS, jnp.uint8)
+    bits = (bitmap[..., None] >> shifts) & jnp.uint8(1)
+    mask = bits.reshape(B, -1)[:, :n]
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    idx = jnp.clip(cs - 1, 0, cap - 1)
+    lv = jnp.take_along_axis(vals, idx, axis=-1)
+    return jnp.where(mask != 0, lv, jnp.int8(0))
+
+
+# ---------------------------------------------------------------------------
+# host side
+# ---------------------------------------------------------------------------
+
+
+def host_pack_levels(flat_i8: np.ndarray, cap: int):
+    """[N] int8 -> (bitmap, vals, ok). ok=False when nonzeros exceed cap."""
+    mask = flat_i8 != 0
+    bitmap = np.packbits(mask)
+    nz = flat_i8[mask]
+    if len(nz) > cap:
+        return bitmap, None, False
+    vals = np.zeros(cap, np.int8)
+    vals[: len(nz)] = nz
+    return bitmap, vals, True
+
+
+def host_expand_levels(bitmap: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
+    """(bitmap uint8 [n/8], vals int8 [cap]) -> dense int8 [n]."""
+    bits = np.unpackbits(bitmap)[:n]
+    out = np.zeros(n, np.int8)
+    idx = np.nonzero(bits)[0]
+    out[idx] = vals[: len(idx)]
+    return out
