@@ -180,6 +180,33 @@ def main():
         handle.block_until_ready()
     t_decode = (time.time() - t0) / (ROUNDS * BATCH)
 
+    # ---------------- lossless (VP8L) decode: device transforms ----------
+    # Entropy on host (C++), inverse transforms (subtract-green + predictor
+    # wavefront + color) batched on the device; vs the host numpy transform
+    # path (VERDICT r1 item 9).
+    from webp_tpu.decode.vp8l import decode_lossless
+    from webp_tpu.decode.vp8l_device import decode_lossless_batch_device
+
+    ll_path = Path("/root/reference/tests/images/gallery2/1_webp_ll.webp")
+    ll_stages = {}
+    if ll_path.exists():
+        wd = WebPDecoder(ll_path.read_bytes())
+        ll_payload = wd._chunk_bytes(ck.VP8L)
+        lw, lh = wd.dimensions()
+        LB = 8
+        decode_lossless_batch_device([ll_payload] * LB, lw, lh)  # warm
+        t0 = time.time()
+        decode_lossless_batch_device([ll_payload] * LB, lw, lh, device_out=True)
+        t_ll_dev = (time.time() - t0) / LB
+        t0 = time.time()
+        decode_lossless(ll_payload, lw, lh, allow_native=False)
+        t_ll_np = time.time() - t0
+        ll_stages = {
+            "lossless_device_ms": round(t_ll_dev * 1e3, 2),
+            "lossless_host_numpy_ms": round(t_ll_np * 1e3, 2),
+            "lossless_device_speedup_vs_numpy": round(t_ll_np / t_ll_dev, 1),
+        }
+
     per_image = t_encode + t_decode
     images_per_s = 1.0 / per_image
     stages = {
@@ -193,6 +220,7 @@ def main():
         "decode_fetch_to_host_ms": round(t_dec_fetch * 1e3, 2),
         "decode_mpix_per_s_device_resident": round(MPIX / t_decode, 1),
         "encode_mpix_per_s": round(MPIX / t_encode, 1),
+        **ll_stages,
     }
     print(
         json.dumps(

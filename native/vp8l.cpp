@@ -515,6 +515,68 @@ int vp8l_get_dims(const uint8_t* data, int len, int32_t* out_w, int32_t* out_h) 
     return 0;
 }
 
+// Entropy-only VP8L decode: header + transform sub-images + main symbol
+// stream, WITHOUT applying the inverse transforms (the device pipeline
+// applies them batched — see webp_tpu/decode/vp8l_device.py).
+//   out_buf:   caller-allocated width*height*4 (transformed width <= width)
+//   out_meta:  int32 [1 + 4*4]: n_transforms, then per transform in stream
+//              order (type, size_bits, table_size, data_len)
+//   out_tdata: transform sub-image bytes, concatenated in stream order
+// Returns the transformed width (>0) or a negative error code.
+int vp8l_decode_entropy(const uint8_t* data, int len, int32_t width,
+                        int32_t height, int implicit, uint8_t* out_buf,
+                        int32_t* out_meta, uint8_t* out_tdata, int tdata_cap) {
+    vp8l::Decoder dec;
+    dec.br.init(data, len);
+    int w = width, h = height;
+    if (!implicit) {
+        if (dec.br.read(8) != 0x2f) return -1;
+        w = (int)dec.br.read(14) + 1;
+        h = (int)dec.br.read(14) + 1;
+        if (w != width || h != height) return -2;
+        dec.br.read(1);
+        if (dec.br.read(3) != 0) return -3;
+    }
+
+    bool seen[4] = {false, false, false, false};
+    int xsize = w;
+    int n = 0;
+    int tdata_off = 0;
+    while (dec.br.read(1) == 1) {
+        int ttype = (int)dec.br.read(2);
+        if (seen[ttype] || n >= 4) return -4;
+        seen[ttype] = true;
+        int size_bits = 0, table_size = 0, data_len = 0;
+        if (ttype == 0 || ttype == 1) {
+            size_bits = (int)dec.br.read(3) + 2;
+            int bw = dec.subsample(xsize, size_bits);
+            int bh = dec.subsample(h, size_bits);
+            data_len = bw * bh * 4;
+            if (tdata_off + data_len > tdata_cap) return -9;
+            if (!dec.decode_stream(bw, bh, false, out_tdata + tdata_off)) return -5;
+        } else if (ttype == 3) {
+            table_size = (int)dec.br.read(8) + 1;
+            data_len = table_size * 4;
+            if (tdata_off + data_len > tdata_cap) return -9;
+            uint8_t* pal = out_tdata + tdata_off;
+            if (!dec.decode_stream(table_size, 1, false, pal)) return -6;
+            for (int i = 4; i < data_len; i++)
+                pal[i] = (uint8_t)(pal[i] + pal[i - 4]);
+            int bits = table_size <= 2 ? 3 : (table_size <= 4 ? 2 : (table_size <= 16 ? 1 : 0));
+            xsize = dec.subsample(xsize, bits);
+        }
+        out_meta[1 + n * 4 + 0] = ttype;
+        out_meta[1 + n * 4 + 1] = size_bits;
+        out_meta[1 + n * 4 + 2] = table_size;
+        out_meta[1 + n * 4 + 3] = data_len;
+        tdata_off += data_len;
+        n++;
+    }
+    out_meta[0] = n;
+    if (!dec.decode_stream(xsize, h, true, out_buf)) return -7;
+    return xsize;
+}
+
 // Full VP8L decode to RGBA. `implicit` != 0 means no header (ALPH payload).
 // Returns 0 on success.
 int vp8l_decode(const uint8_t* data, int len, int32_t width, int32_t height,

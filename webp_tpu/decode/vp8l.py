@@ -92,8 +92,12 @@ class LosslessDecoder:
         self.width = 0
         self.height = 0
 
-    def decode(self, width: int, height: int, implicit_dims: bool) -> np.ndarray:
-        """Decode to a flat [h*w*4] uint8 RGBA array."""
+    def decode_entropy(self, width: int, height: int, implicit_dims: bool):
+        """Run header/transform/entropy decode WITHOUT applying the inverse
+        transforms. Returns (data flat [h*tw*4], transformed_width); the
+        transform list is left on self.transform_order / self.transforms.
+        The device pipeline (decode/vp8l_device.py) applies the transforms
+        batched on the accelerator."""
         if implicit_dims:
             self.width, self.height = width, height
         else:
@@ -109,7 +113,11 @@ class LosslessDecoder:
 
         transformed_width = self._read_transforms()
         data = self._decode_image_stream(transformed_width, self.height, True)
+        return data, transformed_width
 
+    def decode(self, width: int, height: int, implicit_dims: bool) -> np.ndarray:
+        """Decode to a flat [h*w*4] uint8 RGBA array."""
+        data, transformed_width = self.decode_entropy(width, height, implicit_dims)
         width_now = transformed_width
         for t in reversed(self.transform_order):
             kind, payload = self.transforms[t]

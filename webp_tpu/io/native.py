@@ -88,6 +88,11 @@ def _load_locked():
     lib.vp8l_decode.restype = ctypes.c_int
     lib.vp8l_decode.argtypes = [u8p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
                                 ctypes.c_int, u8p]
+    lib.vp8l_decode_entropy.restype = ctypes.c_int
+    lib.vp8l_decode_entropy.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32, ctypes.c_int,
+        u8p, i32p, u8p, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -222,6 +227,38 @@ def vp8_token_encode(levels: np.ndarray, meta: np.ndarray, probs: np.ndarray) ->
     if n < 0:
         raise ValueError("vp8_token_encode overflow")
     return out[:n].tobytes()
+
+
+def vp8l_decode_entropy(data: bytes, width: int, height: int,
+                        implicit: bool = False):
+    """Native VP8L entropy pass (transforms NOT applied).
+
+    Returns (buf [h, tw, 4] uint8, transforms) where transforms is a list of
+    (type, size_bits, table_size, data bytes) in stream order and tw is the
+    transformed (possibly palette-packed) width.
+    """
+    lib = _load()
+    src = np.frombuffer(bytes(data), np.uint8)
+    # The entropy stream is written contiguously at the transformed width.
+    out = np.zeros(height * width * 4, np.uint8)
+    meta = np.zeros(1 + 4 * 4, np.int32)
+    bw2 = (width + 3) // 4
+    bh2 = (height + 3) // 4
+    tdata = np.zeros(2 * bw2 * bh2 * 4 + 1024, np.uint8)
+    tw = lib.vp8l_decode_entropy(
+        _p(src, ctypes.c_uint8), len(src), width, height, 1 if implicit else 0,
+        _p(out, ctypes.c_uint8), _p(meta, ctypes.c_int32),
+        _p(tdata, ctypes.c_uint8), len(tdata),
+    )
+    if tw <= 0:
+        raise ValueError(f"vp8l_decode_entropy failed: {tw}")
+    transforms = []
+    off = 0
+    for i in range(int(meta[0])):
+        ttype, size_bits, table_size, dlen = (int(v) for v in meta[1 + 4 * i : 5 + 4 * i])
+        transforms.append((ttype, size_bits, table_size, tdata[off : off + dlen].copy()))
+        off += dlen
+    return out[: height * tw * 4].reshape(height, tw, 4), transforms
 
 
 def vp8l_decode(data: bytes, width: int, height: int, implicit: bool = False):
