@@ -63,11 +63,12 @@ def test_equal_size_psnr_floor(rd_points):
     # Floor: reference-family parity. The reference itself is 0.3-0.9 dB
     # behind libwebp at equal size above Q75 and ~4.5% larger at Q75
     # (SURVEY §6 / its FILE_SIZE_INVESTIGATION); measured here: parity at
-    # Q100, mean ~-1.1 dB over Q55-Q90 matched sizes (~5-7% size overhead).
+    # Q100, mean -0.78 dB over Q55-Q90 matched sizes after the I4
+    # DC-candidate + nz-context fixes (was -1.1 in round 2a).
     # These are regression guardrails at today's level — libwebp's CI floor
     # for the reference is far looser (PSNR >= 80%).
-    assert np.mean(deltas) > -1.25, deltas
-    assert min(deltas) > -1.55, deltas
+    assert np.mean(deltas) > -0.95, deltas
+    assert min(deltas) > -1.3, deltas
 
 
 def test_equal_size_dssim_ratio(rd_points):
@@ -80,7 +81,7 @@ def test_equal_size_dssim_ratio(rd_points):
         if d_ours is not None and d > 0:
             ratios.append(d_ours / d)
     assert ratios, "no overlapping rate range"
-    assert max(ratios) < 2.3, ratios
+    assert max(ratios) < 2.1, ratios
 
 
 @pytest.mark.skipif(not os.environ.get("WEBP_TPU_RD_SWEEP"), reason="opt-in sweep")

@@ -663,6 +663,10 @@ class Vp8Encoder:
         tb = top_bpred[mbx].copy()
         lb = left_bpred.copy()
         wy = ET.VP8_WEIGHT_Y
+        # Within-MB nonzero contexts for coefficient costing (MB-edge
+        # subblocks use 0, like the reference: vp8.rs:1869-1873).
+        top_nz = np.zeros(4, np.int64)
+        left_nz = np.zeros(4, np.int64)
 
         for sby in range(4):
             for sbx in range(4):
@@ -684,12 +688,23 @@ class Vp8Encoder:
                     np.broadcast_to(sb_src, preds.shape).reshape(10, -1),
                     preds.reshape(10, -1),
                 )
-                order = np.argsort(pred_sse, kind="stable")[:n_try]
+                if n_try < 10:
+                    # DC is always a candidate: its header bits are far
+                    # cheaper than any other mode's, so pure prediction-SSE
+                    # ranking under-serves it (libwebp's DC-heavy mode mix).
+                    order = np.concatenate(
+                        [[0], 1 + np.argsort(pred_sse[1:], kind="stable")[: n_try - 1]]
+                    )
+                else:
+                    order = np.argsort(pred_sse, kind="stable")[:n_try]
 
                 resid = sb_src.astype(np.int32)[None] - preds[order].astype(np.int32)
                 dct = tx.dct4x4(resid.reshape(len(order), 16))
                 lv = self._zz_quantize(seg.y1, dct)
-                cc = C.residual_costs(lv, 3, 0, 0, self.level_costs)
+                ctx0 = (top_nz[sbx] if sby > 0 else 0) + (
+                    left_nz[sby] if sbx > 0 else 0
+                )
+                cc = C.residual_costs(lv, 3, 0, ctx0, self.level_costs)
                 dq = self._zz_dequantize(seg.y1, lv)
                 res = tx.idct4x4(dq)
                 rec = np.clip(
@@ -712,6 +727,7 @@ class Vp8Encoder:
                 ws[y0 : y0 + 4, x0 : x0 + 4] = rec[k]
                 tb[sbx] = m
                 lb[sby] = m
+                top_nz[sbx] = left_nz[sby] = int((lv[k] != 0).any())
 
                 total_rate += int(rate[k])
                 total_disto += int(d[k] + sd[k])

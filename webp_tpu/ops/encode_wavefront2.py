@@ -518,11 +518,23 @@ def _i4_trellis_v2(a16, tr4, tl, left16, src, modes, top_cy, left_cy, P, tbl):
 
 
 def _top_ntry_onehots(sse10, n_try: int):
-    """[R,B,10] SSEs -> one-hot [R,B,n_try,10] of the n_try smallest,
-    in stable (value, index) order — same order as a stable argsort prefix."""
-    cur = sse10
+    """[R,B,10] SSEs -> one-hot [R,B,n_try,10] candidate set.
+
+    DC is always candidate 0 when pruning (its header bits are far cheaper
+    than any other mode's, so pure prediction-SSE ranking under-serves it);
+    the rest are the SSE-smallest of modes 1..9 in stable (value, index)
+    order — matching the python encoder's candidate order exactly.
+    """
     ohs = []
-    for _ in range(n_try):
+    if n_try < 10:
+        lead = sse10.shape[:-1]
+        ohs.append(_onehot(jnp.zeros(lead, jnp.int32), 10))
+        cur = sse10.at[..., 0].set(BIG)
+        n_rank = n_try - 1
+    else:
+        cur = sse10
+        n_rank = n_try
+    for _ in range(n_rank):
         m = jnp.argmin(cur, axis=-1)
         oh = _onehot(m, 10)
         ohs.append(oh)
@@ -576,7 +588,7 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
     arange10 = jnp.arange(10, dtype=jnp.int32)
 
     def body(carry, x):
-        ws, tb, lb, rate, disto, tmc, ok = carry
+        ws, tb, lb, tnz, lnz, rate, disto, tmc, ok = carry
         i, src4, tsrc = x
         sby, sbx = i // 4, i % 4
         preds = _i4_preds_from_ws(ws, sby, sbx)
@@ -596,7 +608,12 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         resid = src4[..., None, :] - cand
         dct = jax_ops.dct4x4(resid)
         lv = _quant_zz(dct, _ex(P.y1_iq, 1), _ex(P.y1_bias, 1))  # [R,B,K,16]
-        cc = residual_costs_par(lv, 3, 0, 0, tbl)
+        # Within-MB nonzero context for the coefficient cost (MB-edge
+        # subblocks use 0, like the reference: vp8.rs:1869-1873).
+        nz_t = jax.lax.dynamic_slice(tnz, (0, 0, sbx), (R, B, 1))[..., 0]
+        nz_l = jax.lax.dynamic_slice(lnz, (0, 0, sby), (R, B, 1))[..., 0]
+        ctx0 = jnp.where(sby > 0, nz_t, 0) + jnp.where(sbx > 0, nz_l, 0)
+        cc = residual_costs_par(lv, 3, 0, ctx0[..., None], tbl)
         rec = _clip255(cand + jax_ops.idct4x4(_dequant_zz(lv, _ex(P.y1_q, 1))))
         d = ((rec - src4[..., None, :]) ** 2).sum(-1)
         trec = _t_transform(rec.reshape(R, B, n_try, 4, 4), tbl.weight_y)
@@ -628,6 +645,9 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         )
         tb = jax.lax.dynamic_update_slice(tb, m[..., None], (0, 0, sbx))
         lb = jax.lax.dynamic_update_slice(lb, m[..., None], (0, 0, sby))
+        has = (lv_k != 0).any(-1).astype(jnp.int32)
+        tnz = jax.lax.dynamic_update_slice(tnz, has[..., None], (0, 0, sbx))
+        lnz = jax.lax.dynamic_update_slice(lnz, has[..., None], (0, 0, sby))
         rate = rate + pick1(rates)
         disto = disto + pick1(d) + pick1(sd)
         tmc = tmc + pick1(mode_costs)
@@ -635,10 +655,12 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
         # 64 bits/MB; reference vp8.rs:1838-1839, 2016-2018).
         ok = ok & (_rd_score32(rate, disto, P.lambda_mode) < i16_score)
         ok = ok & (tmc <= 256 * 16 * 16 // 4)
-        return (ws, tb, lb, rate, disto, tmc, ok), (m, lv_k)
+        return (ws, tb, lb, tnz, lnz, rate, disto, tmc, ok), (m, lv_k)
 
     init = (
         ws0, tb0, lb0,
+        jnp.zeros((R, B, 4), jnp.int32),   # within-MB top nz context
+        jnp.zeros((R, B, 4), jnp.int32),   # within-MB left nz context
         jnp.full((R, B), 211, jnp.int32),  # BMODE initial penalty
         jnp.zeros((R, B), jnp.int32),
         jnp.zeros((R, B), jnp.int32),
@@ -646,7 +668,7 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
     )
     src_x = jnp.moveaxis(src_blocks, 2, 0)  # [16, R, B, 16]
     tsrc_x = jnp.moveaxis(tsrc_all, 2, 0)  # [16, R, B]
-    (ws, tb, lb, rate, disto, tmc, ok), (ms, lvs) = jax.lax.scan(
+    (ws, tb, lb, _, _, rate, disto, tmc, ok), (ms, lvs) = jax.lax.scan(
         body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x)
     )
     return (
