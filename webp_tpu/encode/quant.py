@@ -92,6 +92,14 @@ class Matrix:
         return int((self.q.sum() + 8) >> 4)
 
 
+# Global chroma-DC quant boost (a header-level uvdc_delta): U/V DC blocks
+# react badly to coarse quants (flat-chroma blocking), so chroma DC runs two
+# index steps finer than luma. libwebp derives the same -2 from
+# -4 * sns_strength/100 with its default sns=50 (our fixed tlambda strength);
+# the reference leaves all uv deltas unwired (vp8.rs:154,455 always None).
+DQ_UV_DC = -2
+
+
 class SegmentParams:
     """Quantizers, matrices, and RD lambdas for one segment."""
 
@@ -103,8 +111,9 @@ class SegmentParams:
         self.yac = int(T.AC_QUANT[qi])
         self.y2dc = int(T.DC_QUANT[qi]) * 2
         self.y2ac = max(int(T.AC_QUANT[qi]) * 155 // 100, 8)
+        uvdc_i = min(max(qi + DQ_UV_DC, 0), 127)
         # Clamped to 132 to stay consistent with decoder dequantization.
-        self.uvdc = min(int(T.DC_QUANT[qi]), 132)
+        self.uvdc = min(int(T.DC_QUANT[uvdc_i]), 132)
         self.uvac = int(T.AC_QUANT[qi])
 
         self.y1 = Matrix(self.ydc, self.yac, "y1")

@@ -805,10 +805,15 @@ class Vp8Encoder:
         hw.write_flag(False)    # no loop filter adjustments
         hw.write_literal(2, self.num_partitions.bit_length() - 1)
 
-        # Quantizer indices: all deltas zero.
+        # Quantizer indices: ydc/y2dc/y2ac deltas zero; uvdc carries the
+        # global chroma-DC boost (quant.DQ_UV_DC), uvac delta zero.
+        from .quant import DQ_UV_DC
+
         hw.write_literal(7, self.quant_index)
-        for _ in range(5):
+        for _ in range(3):
             hw.write_flag(False)
+        hw.write_optional_signed(4, DQ_UV_DC, present=DQ_UV_DC != 0)
+        hw.write_flag(False)
 
         hw.write_literal(1, 0)  # refresh entropy probs
 
