@@ -696,4 +696,112 @@ int vp8l_decode(const uint8_t* data, int len, int32_t width, int32_t height,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Encoder-side greedy LZ77 (hash-chain matcher over packed ARGB pixels).
+//
+// The python encoder (webp_tpu/encode/vp8l.py) vectorizes histograms, tree
+// construction and bit packing; only the inherently serial match search runs
+// here. Greedy with a one-pixel lazy check, 1<<20 window (the VP8L distance
+// prefix alphabet's reach), min match length 3.
+// ---------------------------------------------------------------------------
+
+// Tokenize: emits (len, dist) pairs per token in stream order.
+//   len == 1, dist == 0  -> literal (one pixel)
+//   len >= 2, dist >= 1  -> backref copy
+// Returns the token count, or -1 if `cap` is too small.
+int vp8l_lz77(const uint32_t* px, int n, int32_t* out_len, int32_t* out_dist,
+              int cap) {
+    // Distance cap: plane code dist+120 must fit the 40-symbol prefix
+    // alphabet (max encodable value is 2^20).
+    const int WINDOW = (1 << 20) - 120;
+    const int MIN_LEN = 3;
+    const int MAX_LEN = 4096;
+    const int HASH_BITS = 18;
+    const int HASH_SIZE = 1 << HASH_BITS;
+    const int MAX_CHAIN = 64;
+
+    std::vector<int32_t> head(HASH_SIZE, -1);
+    std::vector<int32_t> prev(n, -1);
+
+    auto hash_at = [&](int i) -> uint32_t {
+        // two-pixel hash (matches need >= MIN_LEN anyway)
+        uint64_t v = ((uint64_t)px[i] << 32) | px[i + 1];
+        return (uint32_t)((v * 0x9E3779B185EBCA87ull) >> (64 - HASH_BITS));
+    };
+
+    auto match_len = [&](int a, int b, int max_len) {
+        int l = 0;
+        while (l < max_len && px[a + l] == px[b + l]) l++;
+        return l;
+    };
+
+    auto find_match = [&](int i, int* best_dist) -> int {
+        if (i + 1 >= n) return 0;
+        int best = 0;
+        int max_len = n - i < MAX_LEN ? n - i : MAX_LEN;
+        int lim = i - WINDOW;
+        int cand = head[hash_at(i)];
+        int chain = 0;
+        while (cand >= 0 && cand > lim && chain < MAX_CHAIN) {
+            int l = match_len(cand, i, max_len);
+            if (l > best) {
+                best = l;
+                *best_dist = i - cand;
+                if (l >= max_len) break;
+            }
+            cand = prev[cand];
+            chain++;
+        }
+        // distance-1 runs are free to find and common after transforms
+        if (i > 0 && px[i - 1] == px[i]) {
+            int l = match_len(i - 1, i, max_len);
+            if (l > best) { best = l; *best_dist = 1; }
+        }
+        return best;
+    };
+
+    auto insert = [&](int i) {
+        if (i + 1 < n) {
+            uint32_t hh = hash_at(i);
+            prev[i] = head[hh];
+            head[hh] = i;
+        }
+    };
+
+    int nt = 0;
+    int i = 0;
+    while (i < n) {
+        int dist = 0;
+        int len = find_match(i, &dist);
+        if (len >= MIN_LEN) {
+            // lazy: a one-longer match starting at i+1 wins
+            int dist2 = 0, len2 = 0;
+            bool probed = (i + 1 < n);
+            if (probed) {
+                insert(i);
+                len2 = find_match(i + 1, &dist2);
+            }
+            if (len2 > len + 1) {
+                if (nt >= cap) return -1;
+                out_len[nt] = 1; out_dist[nt] = 0; nt++;  // literal at i
+                i += 1;
+                continue;  // re-search at i (i already inserted)
+            }
+            if (nt >= cap) return -1;
+            out_len[nt] = len; out_dist[nt] = dist; nt++;
+            // insert the positions covered by the match (i itself was
+            // already inserted by the lazy probe when it ran)
+            for (int k = i + (probed ? 1 : 0); k < i + len && k < n; k++)
+                insert(k);
+            i += len;
+        } else {
+            if (nt >= cap) return -1;
+            out_len[nt] = 1; out_dist[nt] = 0; nt++;
+            insert(i);
+            i += 1;
+        }
+    }
+    return nt;
+}
+
 }  // extern "C"

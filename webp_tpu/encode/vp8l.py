@@ -256,15 +256,16 @@ def encode_lossless(
 
     bs.append_bits(0, 1)  # transforms done
 
-    # Run-length factor the pixel stream (runs of identical pixels, <=4096).
     packed = (px[:, 0] << 16) | (px[:, 1] << 8) | px[:, 2] | (px[:, 3] << 24)
     n = len(packed)
-    boundaries = np.flatnonzero(np.diff(packed)) + 1
-    starts = np.concatenate([[0], boundaries])
-    run_lens = np.diff(np.concatenate([starts, [n]]))
-    # Split runs longer than 1+4096 into literal + capped runs.
-    literals_idx = starts
-    extra_runs = run_lens - 1  # run after the literal pixel
+    # Tokenize: windowed LZ77 (native hash-chain matcher) when available,
+    # else distance-1 runs (the reference encoder's scheme,
+    # /root/reference/src/encoder/api.rs:366-412).
+    lens, dists = _tokenize(packed)
+    pos = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=pos[1:])
+    is_lit = lens == 1
+    literals_idx = pos[is_lit]
 
     g = px[:, 1]
     r = px[:, 0]
@@ -316,89 +317,126 @@ def encode_lossless(
         freq_b = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
         freq_a = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
 
-    # Run symbols: chunks of up to 4096.
-    run_records = []  # (length,) per emitted run token
-    for s, extra in zip(literals_idx, extra_runs):
-        rem = int(extra)
-        while rem > 0:
-            take = min(rem, 4096)
-            run_records.append(take)
-            rem -= take
-    run_arr = np.array(run_records, np.int64) if run_records else np.zeros(0, np.int64)
-    small = run_arr <= 4
-    np.add.at(freq_g, np.where(small, 256 + run_arr - 1, 0), small.astype(np.int64))
-    big_sym, big_extra = _length_to_symbol(run_arr)
-    np.add.at(freq_g, np.where(~small, 256 + big_sym, 0), (~small).astype(np.int64))
+    # Copy tokens: length prefix symbols on the green tree, distance prefix
+    # symbols (plane-code mapped) on the distance tree.
+    cp_len = lens[~is_lit]
+    cp_dist = dists[~is_lit]
+    len_sym, len_eb = _length_to_symbol(cp_len)
+    len_sym = np.where(cp_len <= 4, cp_len - 1, len_sym)
+    len_eb = np.where(cp_len <= 4, 0, len_eb)
+    plane = _distance_to_plane_code(cp_dist, w)
+    d_sym, d_eb = _length_to_symbol(plane)
+    d_sym = np.where(plane <= 4, plane - 1, d_sym)
+    d_eb = np.where(plane <= 4, 0, d_eb)
+    np.add.at(freq_g, 256 + len_sym, 1)
+    freq_d = np.bincount(d_sym, minlength=40).astype(np.int64)
 
-    # Trees: green+length, red, blue, alpha, distance (single entry "1").
+    # Trees: green+length(+cache), red, blue, alpha, distance.
     len_g, code_g = write_huffman_tree(bs, freq_g)
     len_r, code_r = write_huffman_tree(bs, freq_r)
     len_b, code_b = write_huffman_tree(bs, freq_b)
     len_a, code_a = write_huffman_tree(bs, freq_a)
-    _write_single_entry_tree(bs, 1)
+    len_d, code_d = write_huffman_tree(bs, freq_d)
 
-    # Emit the symbol stream. Per literal: G,R,B,A codes; per run token: a
-    # length prefix + extra bits + (zero-bit) distance code.
-    # Interleave in pixel order: build per-segment emission with vectorized
-    # channel lookups; run tokens follow their literal.
-    lit_codes = np.stack(
-        [code_g[g[literals_idx]], code_r[r[literals_idx]], code_b[b[literals_idx]], code_a[a[literals_idx]]],
-        axis=1,
+    # Emit the token stream as fixed 4-slot records (zero-width slots drop
+    # out in BitStream packing): literal = G,R,B,A (or one cache symbol);
+    # copy = length prefix, length extra, distance prefix, distance extra.
+    nt = len(lens)
+    codes4 = np.zeros((nt, 4), np.int64)
+    bits4 = np.zeros((nt, 4), np.int64)
+
+    li = literals_idx
+    codes4[is_lit] = np.stack(
+        [code_g[g[li]], code_r[r[li]], code_b[b[li]], code_a[a[li]]], axis=1
     )
-    lit_bits = np.stack(
-        [len_g[g[literals_idx]], len_r[r[literals_idx]], len_b[b[literals_idx]], len_a[a[literals_idx]]],
-        axis=1,
+    bits4[is_lit] = np.stack(
+        [len_g[g[li]], len_r[r[li]], len_b[b[li]], len_a[a[li]]], axis=1
     )
     if use_cache:
         # Cache-hit literals collapse to one g-tree symbol (280 + hash).
         cache_sym = 280 + lit_hash
-        lit_codes = np.where(lit_hit[:, None],
-                             np.stack([code_g[cache_sym]] + [np.zeros_like(cache_sym)] * 3, axis=1),
-                             lit_codes)
-        lit_bits = np.where(lit_hit[:, None],
-                            np.stack([len_g[cache_sym]] + [np.zeros_like(cache_sym)] * 3, axis=1),
-                            lit_bits)
+        lit_codes = codes4[is_lit]
+        lit_bits = bits4[is_lit]
+        zero = np.zeros_like(cache_sym)
+        lit_codes = np.where(
+            lit_hit[:, None],
+            np.stack([code_g[cache_sym], zero, zero, zero], axis=1),
+            lit_codes,
+        )
+        lit_bits = np.where(
+            lit_hit[:, None],
+            np.stack([len_g[cache_sym], zero, zero, zero], axis=1),
+            lit_bits,
+        )
+        codes4[is_lit] = lit_codes
+        bits4[is_lit] = lit_bits
 
-    # Interleave literal tokens with their run tokens, preserving order. The
-    # common case (no run after a literal) is handled with bulk spans.
-    if len(run_arr):
-        run_sym = np.where(small, 256 + run_arr - 1, 256 + big_sym)
-        run_code = code_g[run_sym]
-        run_nbits = len_g[run_sym]
-        run_extra_val = np.where(small, 0, (run_arr - 1) & ((1 << big_extra) - 1))
-        run_extra_bits = np.where(small, 0, big_extra)
+    if len(cp_len):
+        gsym = 256 + len_sym
+        codes4[~is_lit] = np.stack(
+            [
+                code_g[gsym],
+                (cp_len - 1) & ((1 << len_eb) - 1),
+                code_d[d_sym],
+                (plane - 1) & ((1 << d_eb) - 1),
+            ],
+            axis=1,
+        )
+        bits4[~is_lit] = np.stack([len_g[gsym], len_eb, len_d[d_sym], d_eb], axis=1)
 
-    has_run = np.flatnonzero(extra_runs > 0)
-    if len(has_run) == 0:
-        bs.append(lit_codes.reshape(-1), lit_bits.reshape(-1))
-        return bs.to_bytes()
+    bs.append(codes4.reshape(-1), bits4.reshape(-1))
+    return bs.to_bytes()
 
-    seg_tokens_codes = []
-    seg_tokens_bits = []
-    run_i = 0
-    prev = 0
-    for si in has_run:
-        si = int(si)
-        # Literals since the previous run-bearing segment, then this literal.
-        seg_tokens_codes.append(lit_codes[prev : si + 1].reshape(-1))
-        seg_tokens_bits.append(lit_bits[prev : si + 1].reshape(-1))
-        prev = si + 1
-        rem = int(extra_runs[si])
+
+def _tokenize(packed: np.ndarray):
+    """Factor the pixel stream into (lens, dists) tokens: len==1 literals,
+    len>=2 backref copies. Native windowed LZ77 when available; otherwise
+    distance-1 runs of identical pixels (the reference encoder's subset)."""
+    n = len(packed)
+    try:
+        from ..io import native
+
+        if native.available() and n > 1:
+            return native.vp8l_lz77(packed.astype(np.uint32))
+    except Exception:
+        pass
+    # Fallback: runs of identical pixels, capped at 4096 per token.
+    boundaries = np.flatnonzero(np.diff(packed)) + 1
+    starts = np.concatenate([[0], boundaries])
+    run_lens = np.diff(np.concatenate([starts, [n]]))
+    lens_l, dists_l = [], []
+    for rl in run_lens:
+        rl = int(rl)
+        lens_l.append(1)
+        dists_l.append(0)
+        rem = rl - 1
         while rem > 0:
             take = min(rem, 4096)
-            seg_tokens_codes.append(
-                np.array([run_code[run_i], run_extra_val[run_i]], np.int64)
-            )
-            seg_tokens_bits.append(
-                np.array([run_nbits[run_i], run_extra_bits[run_i]], np.int64)
-            )
-            run_i += 1
+            if take == 1:
+                lens_l.append(1)
+                dists_l.append(0)
+            else:
+                lens_l.append(take)
+                dists_l.append(1)
             rem -= take
-    seg_tokens_codes.append(lit_codes[prev:].reshape(-1))
-    seg_tokens_bits.append(lit_bits[prev:].reshape(-1))
+    return np.array(lens_l, np.int64), np.array(dists_l, np.int64)
 
-    bs.append(np.concatenate(seg_tokens_codes), np.concatenate(seg_tokens_bits))
-    return bs.to_bytes()
+
+def _distance_to_plane_code(dist: np.ndarray, width: int) -> np.ndarray:
+    """Map linear backref distances to VP8L plane codes: the 120-entry 2D
+    neighborhood map when applicable (smaller symbols), else dist+120."""
+    from ..decode.vp8l import DISTANCE_MAP
+
+    lut_size = 8 + 7 * width + 2
+    lut = np.zeros(lut_size, np.int64)
+    for i, (xoff, yoff) in enumerate(DISTANCE_MAP):
+        d = max(xoff + yoff * width, 1)
+        if d < lut_size and lut[d] == 0:
+            lut[d] = i + 1
+    dist = dist.astype(np.int64)
+    in_lut = dist < lut_size
+    mapped = np.where(in_lut, lut[np.minimum(dist, lut_size - 1)], 0)
+    return np.where(mapped > 0, mapped, dist + 120)
 
 
 def encode_alpha_lossless(alpha_plane: np.ndarray) -> bytes:

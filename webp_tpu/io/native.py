@@ -93,6 +93,10 @@ def _load_locked():
         u8p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32, ctypes.c_int,
         u8p, i32p, u8p, ctypes.c_int,
     ]
+    lib.vp8l_lz77.restype = ctypes.c_int
+    lib.vp8l_lz77.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, i32p, i32p, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -259,6 +263,26 @@ def vp8l_decode_entropy(data: bytes, width: int, height: int,
         transforms.append((ttype, size_bits, table_size, tdata[off : off + dlen].copy()))
         off += dlen
     return out[: height * tw * 4].reshape(height, tw, 4), transforms
+
+
+def vp8l_lz77(packed: np.ndarray):
+    """Greedy windowed LZ77 over packed ARGB pixels -> (lens, dists) int32.
+
+    lens[i] == 1 is a literal; lens[i] >= 2 copies lens[i] pixels from
+    dists[i] back. Token count <= n, so n-sized buffers always fit.
+    """
+    lib = _load()
+    px = np.ascontiguousarray(packed, np.uint32)
+    n = len(px)
+    out_len = np.zeros(n, np.int32)
+    out_dist = np.zeros(n, np.int32)
+    nt = lib.vp8l_lz77(
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+        _p(out_len, ctypes.c_int32), _p(out_dist, ctypes.c_int32), n,
+    )
+    if nt < 0:
+        raise ValueError("vp8l_lz77 overflow")
+    return out_len[:nt].astype(np.int64), out_dist[:nt].astype(np.int64)
 
 
 def vp8l_decode(data: bytes, width: int, height: int, implicit: bool = False):
