@@ -216,8 +216,15 @@ def encode_lossless(
     implicit_dims: bool = False,
     alpha_used: bool = True,
     cache_bits: int = 10,
+    predictor_size_bits: int = 4,
 ) -> bytes:
-    """Encode an [h, w, 4] RGBA array as a VP8L stream."""
+    """Encode an [h, w, 4] RGBA array as a VP8L stream.
+
+    Pipeline: subtract-green, per-block best-of-14 predictor transform
+    (16-px tiles by default; the reference emits only the TOP predictor at
+    512-px blocks, api.rs:984-991), windowed LZ77 + entropy-gated color
+    cache, canonical Huffman coding.
+    """
     h, w = rgba.shape[:2]
     if not (0 < w <= 16384 and 0 < h <= 16384):
         raise InvalidDimensions(f"{w}x{h}")
@@ -237,25 +244,112 @@ def encode_lossless(
     px[:, 2] -= px[:, 1]
 
     if use_predictor:
-        # Predictor transform, TOP (mode 2) everywhere via a single-entry
-        # predictor image; block bits field = 9-2 (512px blocks).
-        bs.append_bits(0b111001 | 0, 6)
-        bs.append_bits(0, 1)  # no color cache in sub-image
-        _write_single_entry_tree(bs, 2)
-        for _ in range(4):
-            _write_single_entry_tree(bs, 0)
-        img = px.reshape(h, w, 4)
-        out = img.copy()
-        out[1:] = img[1:] - img[:-1]
-        out[0, 1:] = img[0, 1:] - img[0, :-1]
-        out[0, 0, 3] -= 255
+        sb = predictor_size_bits
+        modes, out = _pick_predictors((px.reshape(h, w, 4) & 0xFF), w, h, sb)
+        # transform header: present(1) | type(00=predictor) | size_bits-2
+        bs.append_bits(1 | ((sb - 2) << 3), 6)
+        bh, bw = modes.shape
+        mode_px = np.zeros((bh * bw, 4), np.int64)
+        mode_px[:, 1] = modes.reshape(-1)
+        _write_image_stream(bs, mode_px, bw, cache_bits=0, is_argb=False)
         px = out.reshape(-1, 4)
 
-    px &= 0xFF
-    px = px.astype(np.int64)
-
+    px = (px & 0xFF).astype(np.int64)
     bs.append_bits(0, 1)  # transforms done
+    _write_image_stream(bs, px, w, cache_bits=cache_bits, is_argb=True)
+    return bs.to_bytes()
 
+
+_PRED_COST_LUT = np.log2(1.0 + np.arange(129))
+
+
+def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits: int):
+    """Choose the best of the 14 VP8L predictors per 2^size_bits block.
+
+    u: [h, w, 4] int (0..255) pixels in the subtract-green domain. Cost
+    proxy: sum of log2(1+|wrapped residual|) over channels — a per-pixel
+    entropy surrogate; forced-mode edge pixels (row 0 = L, column 0 = T)
+    are excluded. Returns (modes [bh, bw] uint8, residual [h, w, 4] int64).
+    """
+    u = u.astype(np.int32)
+    L = np.zeros_like(u)
+    L[:, 1:] = u[:, :-1]
+    T = np.zeros_like(u)
+    T[1:] = u[:-1]
+    TL = np.zeros_like(u)
+    TL[1:, 1:] = u[:-1, :-1]
+    TR = np.zeros_like(u)
+    if w > 1:
+        TR[1:, :-1] = u[:-1, 1:]
+    TR[1:, -1] = u[1:, 0]  # last column: current row's first pixel
+
+    def avg2(a, b):
+        return (a + b) >> 1
+
+    preds = np.empty((14, h, w, 4), np.int32)
+    preds[0] = 0
+    preds[0, :, :, 3] = 255
+    preds[1] = L
+    preds[2] = T
+    preds[3] = TR
+    preds[4] = TL
+    preds[5] = avg2(avg2(L, TR), T)
+    preds[6] = avg2(L, TL)
+    preds[7] = avg2(L, T)
+    preds[8] = avg2(TL, T)
+    preds[9] = avg2(T, TR)
+    preds[10] = avg2(avg2(L, TL), avg2(T, TR))
+    p = L + T - TL
+    p_left = np.abs(p - L).sum(-1, keepdims=True)
+    p_top = np.abs(p - T).sum(-1, keepdims=True)
+    preds[11] = np.where(p_left < p_top, L, T)
+    preds[12] = np.clip(p, 0, 255)
+    a2 = avg2(L, T)
+    d = a2 - TL
+    half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+    preds[13] = np.clip(a2 + half, 0, 255)
+
+    res = (u[None] - preds) & 0xFF
+    wrapped = np.minimum(res, 256 - res)  # 0 stays 0
+    cost_px = _PRED_COST_LUT[wrapped].sum(-1)  # [14, h, w]
+    # Forced-mode pixels don't discriminate between block modes.
+    cost_px[:, 0, :] = 0.0
+    cost_px[:, :, 0] = 0.0
+
+    S = 1 << size_bits
+    bw = _subsample_enc(w, size_bits)
+    bh = _subsample_enc(h, size_bits)
+    padded = np.zeros((14, bh * S, bw * S))
+    padded[:, :h, :w] = cost_px
+    cost_blk = padded.reshape(14, bh, S, bw, S).sum((2, 4))
+    modes = np.argmin(cost_blk, axis=0).astype(np.uint8)  # [bh, bw]
+
+    # Final residual under the chosen per-block modes + edge overrides.
+    ys = np.arange(h) >> size_bits
+    xs = np.arange(w) >> size_bits
+    mode_map = modes[ys][:, xs]  # [h, w]
+    pred = np.take_along_axis(
+        preds, mode_map[None, :, :, None].astype(np.int64), axis=0
+    )[0]
+    pred[:, 0] = T[:, 0]   # column 0: top predictor
+    pred[0, :] = L[0, :]   # row 0: left predictor
+    pred[0, 0] = (0, 0, 0, 255)
+    return modes, ((u - pred) & 0xFF).astype(np.int64)
+
+
+def _subsample_enc(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _write_image_stream(bs: BitStream, px: np.ndarray, width: int,
+                        cache_bits: int, is_argb: bool):
+    """Write one VP8L-coded image stream (cache flag, [meta flag for ARGB],
+    5 trees, token stream) for px [n, 4] int64 (r, g, b, a) values 0..255.
+
+    `width` feeds the distance->plane-code mapping (the 2D neighborhood
+    codes are width-relative); token distances are linear either way.
+    """
+    w = width
     packed = (px[:, 0] << 16) | (px[:, 1] << 8) | px[:, 2] | (px[:, 3] << 24)
     n = len(packed)
     # Tokenize: windowed LZ77 (native hash-chain matcher) when available,
@@ -299,7 +393,8 @@ def encode_lossless(
         bs.append_bits(cache_bits, 4)
     else:
         bs.append_bits(0, 1)  # no color cache
-    bs.append_bits(0, 1)  # no meta-huffman
+    if is_argb:
+        bs.append_bits(0, 1)  # no meta-huffman (top-level streams only)
 
     # Histogram for the green/length(/cache) tree.
     alpha_size = 280 + ((1 << cache_bits) if use_cache else 0)
@@ -385,7 +480,6 @@ def encode_lossless(
         bits4[~is_lit] = np.stack([len_g[gsym], len_eb, len_d[d_sym], d_eb], axis=1)
 
     bs.append(codes4.reshape(-1), bits4.reshape(-1))
-    return bs.to_bytes()
 
 
 def _tokenize(packed: np.ndarray):
