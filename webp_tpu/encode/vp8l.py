@@ -254,10 +254,95 @@ def encode_lossless(
         _write_image_stream(bs, mode_px, bw, cache_bits=0, is_argb=False)
         px = out.reshape(-1, 4)
 
+        # Cross-color transform on the predictor residuals (per-block
+        # least-squares slopes, entropy-gated). Stream order SG, PRED, CT
+        # decodes as CT^-1, PRED^-1, SG^-1.
+        coefs, ct_out, gain = _pick_color_transform(
+            (px.reshape(h, w, 4) & 0xFF), w, h, sb
+        )
+        if gain > 12.0 * coefs.shape[0] * coefs.shape[1]:  # > sub-image cost
+            bs.append_bits(1 | (1 << 1) | ((sb - 2) << 3), 6)
+            cbh, cbw = coefs.shape[:2]
+            _write_image_stream(
+                bs, coefs.reshape(-1, 4).astype(np.int64), cbw,
+                cache_bits=0, is_argb=False,
+            )
+            px = ct_out.reshape(-1, 4)
+
     px = (px & 0xFF).astype(np.int64)
     bs.append_bits(0, 1)  # transforms done
     _write_image_stream(bs, px, w, cache_bits=cache_bits, is_argb=True)
     return bs.to_bytes()
+
+
+def _s8(v):
+    return ((v.astype(np.int32) + 128) & 0xFF) - 128
+
+
+def _pick_color_transform(u: np.ndarray, w: int, h: int, size_bits: int):
+    """Per-block cross-color coefficients (green->red, green->blue,
+    red->blue) by least squares on int8-interpreted residuals, each kept
+    only when it beats coefficient 0 on the entropy surrogate.
+
+    Returns (coefs [bh, bw, 4] uint8 sub-image pixels with red_to_blue in
+    byte 0 / green_to_blue in byte 1 / green_to_red in byte 2, transformed
+    [h, w, 4] int64, estimated bit gain)."""
+    S = 1 << size_bits
+    bw = _subsample_enc(w, size_bits)
+    bh = _subsample_enc(h, size_bits)
+
+    def pool(x):  # [h, w] -> [bh, bw] block sums
+        p = np.zeros((bh * S, bw * S), x.dtype)
+        p[:h, :w] = x
+        return p.reshape(bh, S, bw, S).sum((1, 3))
+
+    def ls_coef(xs, ys):
+        num = pool((xs * ys).astype(np.int64))
+        den = pool((xs * xs).astype(np.int64))
+        c = np.round(32.0 * num / np.maximum(den, 1)).astype(np.int64)
+        return np.clip(c, -128, 127)
+
+    def cost(res_bytes):  # [h, w] wrapped residual bytes -> [bh, bw] bits
+        wrapped = np.minimum(res_bytes, 256 - res_bytes)
+        return pool(_PRED_COST_LUT[wrapped])
+
+    def expand(cblk):  # [bh, bw] -> per-pixel [h, w]
+        return cblk[np.arange(h) >> size_bits][:, np.arange(w) >> size_bits]
+
+    gs = _s8(u[:, :, 1])
+    gain = 0.0
+
+    def apply(chan, xs, name_cost0):
+        """Pick per-block coef for `chan -= (coef*xs)>>5`; returns
+        (coef [bh,bw], new channel bytes, gain)."""
+        c_fit = ls_coef(xs, _s8(chan))
+        fitpx = expand(c_fit)
+        newb = (chan - ((fitpx * xs) >> 5)) & 0xFF
+        c0 = name_cost0
+        cf = cost(newb)
+        use_fit = cf + 0.5 < c0  # slight bias toward 0 (cheaper sub-image)
+        coef = np.where(use_fit, c_fit, 0)
+        out = np.where(expand(use_fit), newb, chan)
+        return coef, out, float(np.where(use_fit, c0 - cf, 0.0).sum())
+
+    r = u[:, :, 0].astype(np.int32)
+    b = u[:, :, 2].astype(np.int32)
+
+    g2r, r2, g1 = apply(r, gs, cost(r))
+    g2b, b2, g2 = apply(b, gs, cost(b))
+    # The decoder's red_to_blue term uses the red value it has already
+    # inverse-transformed, i.e. the ORIGINAL (pre-CT) red on our side.
+    r2b, b3, g3 = apply(b2, _s8(u[:, :, 0]), cost(b2))
+    gain = g1 + g2 + g3
+
+    coefs = np.zeros((bh, bw, 4), np.uint8)
+    coefs[:, :, 0] = r2b & 0xFF
+    coefs[:, :, 1] = g2b & 0xFF
+    coefs[:, :, 2] = g2r & 0xFF
+    out = u.astype(np.int64).copy()
+    out[:, :, 0] = r2
+    out[:, :, 2] = b3
+    return coefs, out, gain
 
 
 _PRED_COST_LUT = np.log2(1.0 + np.arange(129))
