@@ -229,6 +229,17 @@ def encode_lossless(
     if not (0 < w <= 16384 and 0 < h <= 16384):
         raise InvalidDimensions(f"{w}x{h}")
 
+    # Palette path: when the image has <= 256 distinct colors, encode a
+    # color-indexing transform variant too and keep whichever is smaller
+    # (the reference encoder has no palette support at all).
+    flat = np.ascontiguousarray(rgba.reshape(-1, 4)).view(np.uint32)[:, 0]
+    colors = np.unique(flat)
+    pal_bytes = None
+    if len(colors) <= 256:
+        pal_bytes = _encode_palette(
+            rgba, colors, implicit_dims, alpha_used, cache_bits
+        )
+
     bs = BitStream()
     if not implicit_dims:
         bs.append_bits(0x2F, 8)
@@ -272,6 +283,63 @@ def encode_lossless(
     px = (px & 0xFF).astype(np.int64)
     bs.append_bits(0, 1)  # transforms done
     _write_image_stream(bs, px, w, cache_bits=cache_bits, is_argb=True)
+    out = bs.to_bytes()
+    if pal_bytes is not None and len(pal_bytes) < len(out):
+        return pal_bytes
+    return out
+
+
+def _encode_palette(rgba: np.ndarray, colors: np.ndarray, implicit_dims: bool,
+                    alpha_used: bool, cache_bits: int) -> bytes:
+    """Color-indexing (palette) encoding: delta-coded palette sub-image +
+    an index image in the green channel, sub-byte packed for <= 16 colors
+    (decoder: ops/vp8l_transforms.py inverse_color_indexing)."""
+    h, w = rgba.shape[:2]
+    n_colors = len(colors)
+    bs = BitStream()
+    if not implicit_dims:
+        bs.append_bits(0x2F, 8)
+        bs.append_bits(w - 1, 14)
+        bs.append_bits(h - 1, 14)
+        bs.append_bits(1 if alpha_used else 0, 1)
+        bs.append_bits(0, 3)
+
+    # transform header: present(1) | type(11=color indexing) | size-1
+    bs.append_bits(1 | (3 << 1), 3)
+    bs.append_bits(n_colors - 1, 8)
+    # Palette entries delta-coded per channel; stored as an image stream.
+    pal = colors.view(np.uint8).reshape(n_colors, 4)  # r,g,b,a byte order
+    delta = pal.astype(np.int64)
+    delta[1:] = (pal[1:].astype(np.int64) - pal[:-1].astype(np.int64)) & 0xFF
+    _write_image_stream(bs, delta, n_colors, cache_bits=0, is_argb=False)
+
+    # Index image (possibly sub-byte packed).
+    flat = np.ascontiguousarray(rgba.reshape(-1, 4)).view(np.uint32)[:, 0]
+    idx = np.searchsorted(colors, flat).reshape(h, w)
+    if n_colors <= 2:
+        w_bits = 3
+    elif n_colors <= 4:
+        w_bits = 2
+    elif n_colors <= 16:
+        w_bits = 1
+    else:
+        w_bits = 0
+    if w_bits:
+        per = 1 << w_bits
+        bpp = 8 >> w_bits
+        pw = (w + per - 1) // per
+        padded = np.zeros((h, pw * per), np.int64)
+        padded[:, :w] = idx
+        shifts = (np.arange(per) * bpp)[None, None, :]
+        packed = (padded.reshape(h, pw, per) << shifts).sum(-1)
+    else:
+        pw = w
+        packed = idx
+    px = np.zeros((h * pw, 4), np.int64)
+    px[:, 1] = packed.reshape(-1)
+
+    bs.append_bits(0, 1)  # transforms done
+    _write_image_stream(bs, px, pw, cache_bits=cache_bits, is_argb=True)
     return bs.to_bytes()
 
 
