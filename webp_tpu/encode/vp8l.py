@@ -139,17 +139,80 @@ def _write_single_entry_tree(bs: BitStream, symbol: int):
 
 
 def write_huffman_tree(bs: BitStream, freqs: np.ndarray):
-    """Serialize a tree; returns (lengths, codes) for the symbol writer."""
+    """Serialize a tree; returns (lengths, codes) for the symbol writer.
+
+    Single-symbol alphabets use the simple-tree form when the symbol fits
+    8 bits, else a code-length-coded tree with one nonzero entry (the
+    decoder's from_single path — symbols then cost zero bits either way)."""
     lengths = build_code_lengths(freqs, 15)
     if lengths.max() == 0:
         used = np.flatnonzero(freqs)
         sym = int(used[0]) if len(used) else 0
-        _write_single_entry_tree(bs, sym)
-        codes = np.zeros(len(freqs), np.int64)
-        return lengths, codes
+        if sym <= 255:
+            _write_single_entry_tree(bs, sym)
+        else:
+            ser = np.zeros(len(freqs), np.int64)
+            ser[sym] = 1
+            _write_cl_coded(bs, ser)
+        return lengths, np.zeros(len(freqs), np.int64)
     codes = canonical_codes(lengths)
+    _write_cl_coded(bs, lengths)
+    return lengths, codes
 
-    cl_freqs = np.bincount(lengths, minlength=19)[:19]
+
+def _cl_sequence(lengths: np.ndarray):
+    """Code-length RLE: (symbols, extra_vals, extra_bits) using rep codes
+    16 (repeat previous nonzero length 3-6), 17 (3-10 zeros), 18 (11-138
+    zeros) — decoder semantics in decode/vp8l.py _read_code_lengths."""
+    n = len(lengths)
+    if n and (lengths == lengths[0]).all() and lengths[0] != 0:
+        # uniform lengths: a single-symbol code-length code costs 0 bits/sym
+        v = int(lengths[0])
+        return [v] * n, [0] * n, [0] * n
+    sym, ev, eb = [], [], []
+    prev = 8
+    i = 0
+    while i < n:
+        v = int(lengths[i])
+        j = i
+        while j < n and lengths[j] == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                sym.append(18); ev.append(take - 11); eb.append(7)
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                sym.append(17); ev.append(take - 3); eb.append(3)
+                run -= take
+            for _ in range(run):
+                sym.append(0); ev.append(0); eb.append(0)
+        else:
+            r = run
+            if v != prev:
+                sym.append(v); ev.append(0); eb.append(0)
+                r -= 1
+                prev = v
+            while r >= 3:
+                take = min(r, 6)
+                sym.append(16); ev.append(take - 3); eb.append(2)
+                r -= take
+            for _ in range(r):
+                sym.append(v); ev.append(0); eb.append(0)
+        i = j
+    return sym, ev, eb
+
+
+def _write_cl_coded(bs: BitStream, lengths: np.ndarray):
+    """Write the code-length-coded tree form for a full `lengths` array."""
+    seq_sym, seq_ev, seq_eb = _cl_sequence(lengths)
+    seq_sym = np.asarray(seq_sym, np.int64)
+    seq_ev = np.asarray(seq_ev, np.int64)
+    seq_eb = np.asarray(seq_eb, np.int64)
+
+    cl_freqs = np.bincount(seq_sym, minlength=19)[:19]
     cl_lengths = build_code_lengths(cl_freqs, 7)
     single_cl = cl_lengths.max() == 0
     cl_codes = canonical_codes(cl_lengths)
@@ -157,16 +220,23 @@ def write_huffman_tree(bs: BitStream, freqs: np.ndarray):
     bs.append_bits(0, 1)  # normal (code-length-coded) tree
     bs.append_bits(19 - 4, 4)
     for i in _CL_ORDER:
-        if i > 15 or cl_freqs[i] == 0:
+        if cl_freqs[i] == 0:
             bs.append_bits(0, 3)
         elif single_cl:
             bs.append_bits(1, 3)
         else:
             bs.append_bits(int(cl_lengths[i]), 3)
     bs.append_bits(0, 1)  # no explicit max_symbol
-    if not single_cl:
-        bs.append(cl_codes[lengths], cl_lengths[lengths])
-    return lengths, codes
+    # Interleave cl codes with rep-code extra bits (cl codes are 0-wide in
+    # the single-symbol case but the extras still ride the stream).
+    m = len(seq_sym)
+    codes2 = np.empty(2 * m, np.int64)
+    bits2 = np.empty(2 * m, np.int64)
+    codes2[0::2] = cl_codes[seq_sym]
+    bits2[0::2] = cl_lengths[seq_sym]
+    codes2[1::2] = seq_ev
+    bits2[1::2] = seq_eb
+    bs.append(codes2, bits2)
 
 
 def _length_to_symbol(run: np.ndarray):
@@ -541,29 +611,14 @@ def _write_image_stream(bs: BitStream, px: np.ndarray, width: int,
         cache_bits_est = sum(map(_entropy_bits, (fg_c, fr_c, fb_c, fa_c)))
         use_cache = cache_bits_est + (1 << cache_bits) * 0.5 < no_cache_bits
 
+    # Per-token symbols (group-independent).
+    alpha_g = 280 + ((1 << cache_bits) if use_cache else 0)
+    lit_g_sym = g[literals_idx].copy()
     if use_cache:
-        bs.append_bits(1, 1)
-        bs.append_bits(cache_bits, 4)
+        lit_g_sym[lit_hit] = 280 + lit_hash[lit_hit]
+        lit_miss = ~lit_hit
     else:
-        bs.append_bits(0, 1)  # no color cache
-    if is_argb:
-        bs.append_bits(0, 1)  # no meta-huffman (top-level streams only)
-
-    # Histogram for the green/length(/cache) tree.
-    alpha_size = 280 + ((1 << cache_bits) if use_cache else 0)
-    freq_g = np.zeros(alpha_size if use_cache else 280, np.int64)
-    if use_cache:
-        miss = ~lit_hit
-        np.add.at(freq_g, g[literals_idx][miss], 1)
-        np.add.at(freq_g, 280 + lit_hash[lit_hit], 1)
-        freq_r = np.bincount(r[literals_idx][miss], minlength=256).astype(np.int64)
-        freq_b = np.bincount(b[literals_idx][miss], minlength=256).astype(np.int64)
-        freq_a = np.bincount(a[literals_idx][miss], minlength=256).astype(np.int64)
-    else:
-        np.add.at(freq_g, g[literals_idx], 1)
-        freq_r = np.bincount(r[literals_idx], minlength=256).astype(np.int64)
-        freq_b = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
-        freq_a = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
+        lit_miss = np.ones(len(literals_idx), bool)
 
     # Copy tokens: length prefix symbols on the green tree, distance prefix
     # symbols (plane-code mapped) on the distance tree.
@@ -576,15 +631,77 @@ def _write_image_stream(bs: BitStream, px: np.ndarray, width: int,
     d_sym, d_eb = _length_to_symbol(plane)
     d_sym = np.where(plane <= 4, plane - 1, d_sym)
     d_eb = np.where(plane <= 4, 0, d_eb)
-    np.add.at(freq_g, 256 + len_sym, 1)
-    freq_d = np.bincount(d_sym, minlength=40).astype(np.int64)
 
-    # Trees: green+length(+cache), red, blue, alpha, distance.
-    len_g, code_g = write_huffman_tree(bs, freq_g)
-    len_r, code_r = write_huffman_tree(bs, freq_r)
-    len_b, code_b = write_huffman_tree(bs, freq_b)
-    len_a, code_a = write_huffman_tree(bs, freq_a)
-    len_d, code_d = write_huffman_tree(bs, freq_d)
+    # Meta-Huffman: spatially cluster token histograms into entropy groups
+    # (ARGB top-level streams only; the flag doesn't exist for sub-streams).
+    lit_grp = np.zeros(len(literals_idx), np.int64)
+    cp_grp = np.zeros(len(cp_len), np.int64)
+    meta = None
+    if is_argb:
+        meta = _meta_cluster(
+            literals_idx, lit_g_sym, lit_miss,
+            r[literals_idx], b[literals_idx], a[literals_idx],
+            pos[~is_lit], len_sym, d_sym, w, n // max(w, 1), alpha_g,
+        )
+    K = 1
+    if meta is not None:
+        histo_bits, group_of_tile, K = meta
+        bwE = _subsample_enc(w, histo_bits)
+
+        def grp_of(p):
+            return group_of_tile[
+                ((p // w) >> histo_bits) * bwE + ((p % w) >> histo_bits)
+            ]
+
+        lit_grp = grp_of(literals_idx)
+        cp_grp = grp_of(pos[~is_lit])
+
+    if use_cache:
+        bs.append_bits(1, 1)
+        bs.append_bits(cache_bits, 4)
+    else:
+        bs.append_bits(0, 1)  # no color cache
+    if is_argb:
+        if meta is not None:
+            bs.append_bits(1, 1)
+            bs.append_bits(histo_bits - 2, 3)
+            bhE = _subsample_enc(n // max(w, 1), histo_bits)
+            ent_px = np.zeros((bhE * bwE, 4), np.int64)
+            ent_px[:, 0] = group_of_tile >> 8
+            ent_px[:, 1] = group_of_tile & 0xFF
+            _write_image_stream(bs, ent_px, bwE, cache_bits=0, is_argb=False)
+        else:
+            bs.append_bits(0, 1)  # no meta-huffman
+
+    # Per-group histograms and trees.
+    freq_g = np.zeros((K, alpha_g), np.int64)
+    freq_r = np.zeros((K, 256), np.int64)
+    freq_b = np.zeros((K, 256), np.int64)
+    freq_a = np.zeros((K, 256), np.int64)
+    freq_d = np.zeros((K, 40), np.int64)
+    np.add.at(freq_g, (lit_grp, lit_g_sym), 1)
+    np.add.at(freq_r, (lit_grp[lit_miss], r[literals_idx][lit_miss]), 1)
+    np.add.at(freq_b, (lit_grp[lit_miss], b[literals_idx][lit_miss]), 1)
+    np.add.at(freq_a, (lit_grp[lit_miss], a[literals_idx][lit_miss]), 1)
+    np.add.at(freq_g, (cp_grp, 256 + len_sym), 1)
+    np.add.at(freq_d, (cp_grp, d_sym), 1)
+
+    len_g = np.zeros((K, alpha_g), np.int64)
+    code_g = np.zeros((K, alpha_g), np.int64)
+    len_r = np.zeros((K, 256), np.int64)
+    code_r = np.zeros((K, 256), np.int64)
+    len_b = np.zeros((K, 256), np.int64)
+    code_b = np.zeros((K, 256), np.int64)
+    len_a = np.zeros((K, 256), np.int64)
+    code_a = np.zeros((K, 256), np.int64)
+    len_d = np.zeros((K, 40), np.int64)
+    code_d = np.zeros((K, 40), np.int64)
+    for k in range(K):
+        len_g[k], code_g[k] = write_huffman_tree(bs, freq_g[k])
+        len_r[k], code_r[k] = write_huffman_tree(bs, freq_r[k])
+        len_b[k], code_b[k] = write_huffman_tree(bs, freq_b[k])
+        len_a[k], code_a[k] = write_huffman_tree(bs, freq_a[k])
+        len_d[k], code_d[k] = write_huffman_tree(bs, freq_d[k])
 
     # Emit the token stream as fixed 4-slot records (zero-width slots drop
     # out in BitStream packing): literal = G,R,B,A (or one cache symbol);
@@ -594,45 +711,139 @@ def _write_image_stream(bs: BitStream, px: np.ndarray, width: int,
     bits4 = np.zeros((nt, 4), np.int64)
 
     li = literals_idx
-    codes4[is_lit] = np.stack(
-        [code_g[g[li]], code_r[r[li]], code_b[b[li]], code_a[a[li]]], axis=1
+    lit_codes = np.stack(
+        [
+            code_g[lit_grp, lit_g_sym],
+            code_r[lit_grp, r[li]],
+            code_b[lit_grp, b[li]],
+            code_a[lit_grp, a[li]],
+        ],
+        axis=1,
     )
-    bits4[is_lit] = np.stack(
-        [len_g[g[li]], len_r[r[li]], len_b[b[li]], len_a[a[li]]], axis=1
+    lit_bits = np.stack(
+        [
+            len_g[lit_grp, lit_g_sym],
+            len_r[lit_grp, r[li]],
+            len_b[lit_grp, b[li]],
+            len_a[lit_grp, a[li]],
+        ],
+        axis=1,
     )
+    # Cache-hit literals collapse to the single g-tree symbol already in
+    # lit_g_sym; blank the R/B/A slots.
     if use_cache:
-        # Cache-hit literals collapse to one g-tree symbol (280 + hash).
-        cache_sym = 280 + lit_hash
-        lit_codes = codes4[is_lit]
-        lit_bits = bits4[is_lit]
-        zero = np.zeros_like(cache_sym)
-        lit_codes = np.where(
-            lit_hit[:, None],
-            np.stack([code_g[cache_sym], zero, zero, zero], axis=1),
-            lit_codes,
-        )
-        lit_bits = np.where(
-            lit_hit[:, None],
-            np.stack([len_g[cache_sym], zero, zero, zero], axis=1),
-            lit_bits,
-        )
-        codes4[is_lit] = lit_codes
-        bits4[is_lit] = lit_bits
+        hit = (~lit_miss)[:, None]
+        keep = np.array([True, False, False, False])[None, :]
+        lit_codes = np.where(hit & ~keep, 0, lit_codes)
+        lit_bits = np.where(hit & ~keep, 0, lit_bits)
+    codes4[is_lit] = lit_codes
+    bits4[is_lit] = lit_bits
 
     if len(cp_len):
         gsym = 256 + len_sym
         codes4[~is_lit] = np.stack(
             [
-                code_g[gsym],
+                code_g[cp_grp, gsym],
                 (cp_len - 1) & ((1 << len_eb) - 1),
-                code_d[d_sym],
+                code_d[cp_grp, d_sym],
                 (plane - 1) & ((1 << d_eb) - 1),
             ],
             axis=1,
         )
-        bits4[~is_lit] = np.stack([len_g[gsym], len_eb, len_d[d_sym], d_eb], axis=1)
+        bits4[~is_lit] = np.stack(
+            [len_g[cp_grp, gsym], len_eb, len_d[cp_grp, d_sym], d_eb], axis=1
+        )
 
     bs.append(codes4.reshape(-1), bits4.reshape(-1))
+
+
+def _meta_cluster(lit_pos, lit_g_sym, lit_miss, lit_r, lit_b, lit_a,
+                  cp_pos, len_sym, d_sym, w: int, h: int, alpha_g: int):
+    """Cluster per-tile token histograms into entropy groups.
+
+    Assignment iterates on actual Huffman code lengths (each tile moves to
+    the group whose trees code it cheapest), the clustering analogue of
+    cwebp's histogram-combine. Returns (histo_bits, group_of_tile, K) or
+    None when one group is estimated cheaper (small images, uniform stats).
+    """
+    if w < 1 or h < 1:
+        return None
+    histo_bits = 4
+    while _subsample_enc(w, histo_bits) * _subsample_enc(h, histo_bits) > 400:
+        histo_bits += 1
+    bwE = _subsample_enc(w, histo_bits)
+    bhE = _subsample_enc(h, histo_bits)
+    n_tiles = bwE * bhE
+    if n_tiles < 8:
+        return None
+
+    def tile_of(p):
+        return ((p // w) >> histo_bits) * bwE + ((p % w) >> histo_bits)
+
+    # Per-tile histograms over the 5 alphabets, concatenated.
+    offs = np.cumsum([0, alpha_g, 256, 256, 256, 40])
+    A = int(offs[-1])
+    th = np.zeros((n_tiles, A), np.int64)
+    lt = tile_of(lit_pos)
+    np.add.at(th, (lt, lit_g_sym), 1)
+    np.add.at(th, (lt[lit_miss], offs[1] + lit_r[lit_miss]), 1)
+    np.add.at(th, (lt[lit_miss], offs[2] + lit_b[lit_miss]), 1)
+    np.add.at(th, (lt[lit_miss], offs[3] + lit_a[lit_miss]), 1)
+    ct = tile_of(cp_pos)
+    np.add.at(th, (ct, 256 + len_sym), 1)
+    np.add.at(th, (ct, offs[4] + d_sym), 1)
+
+    def group_codelens(assign, K):
+        """[K, A] code lengths of each group's 5 trees (15 = unseen)."""
+        gh = np.zeros((K, A), np.int64)
+        np.add.at(gh, assign, th)
+        cl = np.zeros((K, A), np.float64)
+        for k in range(K):
+            for s, e in zip(offs[:-1], offs[1:]):
+                lengths = build_code_lengths(gh[k, s:e], 15)
+                c = lengths.astype(np.float64)
+                if (gh[k, s:e] > 0).sum() == 1:
+                    c[:] = 0.0  # single-symbol tree codes for free
+                c[gh[k, s:e] == 0] = 15.0
+                cl[k, s:e] = c
+        return cl
+
+    K = min(16, n_tiles)
+    # Initialize by total-count quantiles (busy tiles spread across groups).
+    order = np.argsort(th.sum(1), kind="stable")
+    assign = np.zeros(n_tiles, np.int64)
+    assign[order] = (np.arange(n_tiles) * K) // n_tiles
+    for _ in range(4):
+        cl = group_codelens(assign, K)
+        cost = th @ cl.T  # [n_tiles, K]
+        new_assign = np.argmin(cost, axis=1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+    # Compact group ids.
+    used = np.unique(assign)
+    remap = np.zeros(used.max() + 1, np.int64)
+    remap[used] = np.arange(len(used))
+    assign = remap[assign]
+    K = len(used)
+    if K == 1:
+        return None
+
+    # Gate: grouped token bits + overhead must beat one global group.
+    cl = group_codelens(assign, K)
+    bits_meta = float((th * cl[assign]).sum())
+    cl1 = group_codelens(np.zeros(n_tiles, np.int64), 1)
+    bits_one = float((th * cl1[0]).sum())
+    # Overhead: ~5.5 bits per extra nonzero tree symbol, ~60 bits of fixed
+    # header per tree (5 trees/group), plus the entropy image itself.
+    gh = np.zeros((K, A), np.int64)
+    np.add.at(gh, assign, th)
+    tree_bits = 5.5 * float((gh > 0).sum() - (cl1[0] < 15).sum())
+    tree_bits += (K - 1) * 5 * 60
+    ent_img_bits = n_tiles * max(1.0, np.log2(K)) + 300
+    if bits_meta + tree_bits + ent_img_bits >= bits_one - 512:
+        return None
+    return histo_bits, assign, K
 
 
 def _tokenize(packed: np.ndarray):
