@@ -84,6 +84,32 @@ def test_equal_size_dssim_ratio(rd_points):
     assert max(ratios) < 2.1, ratios
 
 
+def test_sharp_yuv_improves_high_q(goldens):
+    """Sharp-YUV (least-squares chroma vs the fancy upsampler) must beat the
+    plain 2x2-average conversion on decoded-RGB PSNR at high quality for
+    marginal size cost. The reference accepts sharp_yuv but never wires it."""
+    img = load_png(goldens / "gallery1" / "1.png")[:256, :320].copy()
+    for q, min_gain in ((80, 0.15), (90, 0.5)):
+        std = Encoder.new_rgb(img).with_quality(q).with_method(4).encode()
+        shp = (
+            Encoder.new_rgb(img).with_quality(q).with_method(4)
+            .with_sharp_yuv().encode()
+        )
+        ds = np.asarray(Image.open(io.BytesIO(std)).convert("RGB"))
+        dh = np.asarray(Image.open(io.BytesIO(shp)).convert("RGB"))
+        gain = psnr(img, dh) - psnr(img, ds)
+        assert gain > min_gain, (q, gain)
+        assert len(shp) < len(std) * 1.02, (q, len(shp), len(std))
+
+
+def test_sharp_yuv_odd_dims(goldens):
+    """Odd-dimension edge handling in the sharp converter round-trips."""
+    img = load_png(goldens / "gallery1" / "1.png")[:63, :101].copy()
+    data = Encoder.new_rgb(img).with_quality(85).with_sharp_yuv().encode()
+    dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(img, dec) > 30
+
+
 @pytest.mark.skipif(not os.environ.get("WEBP_TPU_RD_SWEEP"), reason="opt-in sweep")
 def test_full_rd_sweep(goldens):
     rows = []

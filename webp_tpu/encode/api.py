@@ -47,7 +47,8 @@ class EncoderConfig:
     preset: str = Preset.DEFAULT
     near_lossless: int = 100  # accepted, not yet wired (parity w/ reference)
     target_size: int = 0      # accepted, not yet wired (parity w/ reference)
-    sharp_yuv: bool = False   # accepted, not yet wired (parity w/ reference)
+    sharp_yuv: bool = False   # least-squares chroma refinement (ops/yuv.py);
+                              # the reference accepts but never wires this
     params: EncoderParams = dataclasses.field(default_factory=EncoderParams)
 
     @classmethod
@@ -150,6 +151,10 @@ class Encoder:
         self.config.preset = preset
         return self
 
+    def with_sharp_yuv(self, sharp: bool = True):
+        self.config.sharp_yuv = sharp
+        return self
+
     def with_config(self, config: EncoderConfig):
         self.config = config
         return self
@@ -211,6 +216,8 @@ class Encoder:
             enc = Vp8Encoder(int(self.config.quality), self.config.method)
             if self.color_type in ("L8", "LA8"):
                 y, u, v = yuvops.gray_to_yuv420(self.image[:, :, 0])
+            elif self.config.sharp_yuv:
+                y, u, v = yuvops.rgb_to_yuv420_sharp(self.image)
             else:
                 y, u, v = yuvops.rgb_to_yuv420(self.image)
             vp8 = enc.encode_yuv(y, u, v, w, h)
