@@ -140,3 +140,30 @@ def test_multi_partition_encode(photo, n):
     ours = WebPDecoder(data).read_image()
     theirs = libwebp_decode(data)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_target_size(photo):
+    """target_size bisects quality to the largest full file that fits
+    (wired beyond the reference, which accepts but ignores it)."""
+    img = photo[:176, :208, :3].copy()
+    for tgt in (4000, 9000):
+        data = Encoder.new_rgb(img).with_target_size(tgt).encode()
+        assert len(data) <= tgt
+        assert len(data) > tgt * 0.5  # actually uses the budget
+        WebPDecoder(data).read_image()
+
+
+def test_near_lossless(photo):
+    """near_lossless pre-quantization: bounded per-channel error and real
+    size savings at the stronger levels (1-bit quantization can tie or
+    slightly lose on noisy photographic crops; 2+ bits must win)."""
+    img = np.dstack([photo[:120, :160, :3], np.full((120, 160), 255, np.uint8)])
+    exact = Encoder.new_rgba(img).with_lossless(True).encode()
+    sizes = {}
+    for q, maxdiff in ((80, 1), (60, 2), (40, 4)):
+        data = Encoder.new_rgba(img).with_lossless(True).with_near_lossless(q).encode()
+        dec = WebPDecoder(data).read_image()
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= maxdiff
+        sizes[q] = len(data)
+    assert sizes[60] < len(exact), (sizes, len(exact))
+    assert sizes[40] < sizes[60], sizes

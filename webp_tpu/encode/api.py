@@ -155,6 +155,14 @@ class Encoder:
         self.config.sharp_yuv = sharp
         return self
 
+    def with_near_lossless(self, quality: int):
+        self.config.near_lossless = int(quality)
+        return self
+
+    def with_target_size(self, size: int):
+        self.config.target_size = int(size)
+        return self
+
     def with_config(self, config: EncoderConfig):
         self.config = config
         return self
@@ -194,16 +202,43 @@ class Encoder:
         h, w = self.image.shape[:2]
         if not (0 < w <= 16383 and 0 < h <= 16383):
             raise InvalidDimensions(f"{w}x{h}")
+
+        if self.config.target_size > 0 and not self.config.lossless:
+            # Rate control on the FULL container output: bisect quality to
+            # the largest file that fits (the reference accepts target_size
+            # but never wires it; api.rs:487-671).
+            target = self.config.target_size
+            saved_q = self.config.quality
+            self.config.target_size = 0
+            try:
+                lo, hi, best = 0.0, 100.0, None
+                for _ in range(7):
+                    self.config.quality = (lo + hi) / 2
+                    cand = self.encode()
+                    if len(cand) <= target:
+                        best, lo = cand, self.config.quality
+                    else:
+                        hi = self.config.quality
+                if best is None:
+                    self.config.quality = 0.0
+                    best = self.encode()
+                return best
+            finally:
+                self.config.target_size = target
+                self.config.quality = saved_q
         has_alpha = self.color_type in ("RGBA8", "LA8")
         has_meta = any(
             x is not None for x in (self.icc_profile, self.exif_metadata, self.xmp_metadata)
         )
 
         if self.config.lossless:
-            from .vp8l import encode_lossless
+            from .vp8l import encode_lossless, near_lossless_preprocess
 
+            rgba = self._to_rgba()
+            if self.config.near_lossless < 100:
+                rgba = near_lossless_preprocess(rgba, self.config.near_lossless)
             payload = encode_lossless(
-                self._to_rgba(),
+                rgba,
                 use_predictor=self.config.params.use_predictor_transform,
                 alpha_used=has_alpha,
             )
@@ -213,13 +248,14 @@ class Encoder:
         else:
             from .vp8 import Vp8Encoder
 
-            enc = Vp8Encoder(int(self.config.quality), self.config.method)
             if self.color_type in ("L8", "LA8"):
                 y, u, v = yuvops.gray_to_yuv420(self.image[:, :, 0])
             elif self.config.sharp_yuv:
                 y, u, v = yuvops.rgb_to_yuv420_sharp(self.image)
             else:
                 y, u, v = yuvops.rgb_to_yuv420(self.image)
+
+            enc = Vp8Encoder(int(self.config.quality), self.config.method)
             vp8 = enc.encode_yuv(y, u, v, w, h)
             body = _chunk(b"VP8 ", vp8)
             alpha_flag = False

@@ -897,6 +897,40 @@ def _distance_to_plane_code(dist: np.ndarray, width: int) -> np.ndarray:
     return np.where(mapped > 0, mapped, dist + 120)
 
 
+def near_lossless_preprocess(rgba: np.ndarray, quality: int) -> np.ndarray:
+    """Near-lossless pre-quantization (libwebp near_lossless_enc.c model).
+
+    quality 100..0 -> 0..5 bits of channel quantization, applied only to
+    pixels in non-smooth neighborhoods (a pixel whose 4-neighborhood is
+    flat in every channel is left exact, so gradients don't band). The
+    discretization rounds to the nearest multiple of 2^bits with the
+    libwebp anti-banding bias. The reference accepts near_lossless but
+    never wires it (api.rs:487-671)."""
+    bits = min(5, max(0, (100 - int(quality)) // 20))
+    if bits == 0:
+        return rgba
+    h, w = rgba.shape[:2]
+    if h < 3 or w < 3:
+        return rgba
+    px = rgba.astype(np.int32)
+    out = rgba.copy()
+
+    # Smooth = all 4-neighbors equal to the pixel in every channel.
+    center = px[1:-1, 1:-1]
+    smooth = (
+        (px[:-2, 1:-1] == center).all(-1)
+        & (px[2:, 1:-1] == center).all(-1)
+        & (px[1:-1, :-2] == center).all(-1)
+        & (px[1:-1, 2:] == center).all(-1)
+    )
+
+    mask = (1 << bits) - 1
+    biased = center + (mask >> 1) + ((center >> bits) & 1)
+    quant = np.where(biased > 0xFF, 0xFF, biased & ~mask).astype(np.uint8)
+    out[1:-1, 1:-1] = np.where(smooth[..., None], out[1:-1, 1:-1], quant)
+    return out
+
+
 def encode_alpha_lossless(alpha_plane: np.ndarray) -> bytes:
     """ALPH chunk payload: VP8L-compressed alpha in the green channel."""
     h, w = alpha_plane.shape
