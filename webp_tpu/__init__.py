@@ -24,6 +24,7 @@ from .errors import (
 )
 from .container.demux import WebPDecoder, ImageInfo, LOOP_FOREVER
 from .encode.api import (
+    AnimationEncoder,
     Encoder,
     EncoderConfig,
     EncoderParams,
@@ -82,6 +83,7 @@ __all__ = [
     "WebPDecoder",
     "ImageInfo",
     "LOOP_FOREVER",
+    "AnimationEncoder",
     "Encoder",
     "EncoderConfig",
     "EncoderParams",

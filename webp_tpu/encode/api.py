@@ -45,8 +45,10 @@ class EncoderConfig:
     lossless: bool = False
     exact: bool = False
     preset: str = Preset.DEFAULT
-    near_lossless: int = 100  # accepted, not yet wired (parity w/ reference)
-    target_size: int = 0      # accepted, not yet wired (parity w/ reference)
+    near_lossless: int = 100  # pre-quantization level (vp8l.py; the
+                              # reference accepts but never wires this)
+    target_size: int = 0      # full-output rate control (encode(); the
+                              # reference accepts but never wires this)
     sharp_yuv: bool = False   # least-squares chroma refinement (ops/yuv.py);
                               # the reference accepts but never wires this
     params: EncoderParams = dataclasses.field(default_factory=EncoderParams)
@@ -326,3 +328,93 @@ def encode_rgba(image, quality: float = 75.0) -> bytes:
 
 def encode_lossless_rgba(image) -> bytes:
     return Encoder.new_rgba(image).with_lossless().encode()
+
+
+class AnimationEncoder:
+    """Animated WebP muxer: VP8X(anim) + ANIM + per-frame ANMF chunks.
+
+    The reference has no animation encoder (its decoder-side state machine
+    is api.rs:211-234 / extended.rs:31-149); this matches what its demuxer
+    and ours both consume. Frames are lossless (VP8L) by default — lossless
+    frames additionally crop to the changed bounding box against the
+    running canvas — or lossy (VP8) at `quality` with full-frame rects.
+    """
+
+    def __init__(self, width: int, height: int, *, loop_count: int = 0,
+                 background=(255, 255, 255, 255), lossless: bool = True,
+                 quality: float = 75.0, method: int = 4):
+        if not (0 < width <= 16384 and 0 < height <= 16384):
+            raise InvalidDimensions(f"{width}x{height}")
+        self.width = width
+        self.height = height
+        self.loop_count = loop_count
+        self.background = tuple(int(c) for c in background)
+        self.lossless = lossless
+        self.quality = quality
+        self.method = method
+        self._frames = []  # ANMF chunk bytes
+        self._canvas = None
+
+    def add_frame(self, rgba: np.ndarray, duration_ms: int):
+        """Append a full-canvas RGBA frame shown for duration_ms."""
+        rgba = np.asarray(rgba)
+        if rgba.shape[:2] != (self.height, self.width) or rgba.shape[2] != 4:
+            raise EncodingError("frame must be full-canvas RGBA")
+        x = y = 0
+        fw, fh = self.width, self.height
+        patch = rgba
+        if self.lossless and self._canvas is not None:
+            diff = (rgba != self._canvas).any(-1)
+            ys, xs = np.nonzero(diff)
+            if len(ys) == 0:
+                # identical frame: 2x2 no-op patch (even offsets required)
+                ys = xs = np.zeros(1, np.int64)
+            # even offsets (ANMF stores x/2, y/2)
+            y = int(ys.min()) & ~1
+            x = int(xs.min()) & ~1
+            fh = int(ys.max()) + 1 - y
+            fw = int(xs.max()) + 1 - x
+            patch = np.ascontiguousarray(rgba[y : y + fh, x : x + fw])
+
+        if self.lossless:
+            from .vp8l import encode_lossless
+
+            sub = _chunk(b"VP8L", encode_lossless(patch, alpha_used=True))
+        else:
+            from ..ops import yuv as yuvops
+            from .vp8 import Vp8Encoder
+
+            yb, ub, vb = yuvops.rgb_to_yuv420(patch[:, :, :3])
+            vp8 = Vp8Encoder(int(self.quality), self.method).encode_yuv(
+                yb, ub, vb, fw, fh
+            )
+            sub = _chunk(b"VP8 ", vp8)
+            if (patch[:, :, 3] != 255).any():
+                from .vp8l import encode_alpha_lossless
+
+                sub = _chunk(
+                    b"ALPH", encode_alpha_lossless(np.ascontiguousarray(patch[:, :, 3]))
+                ) + sub
+
+        head = (x // 2).to_bytes(3, "little")
+        head += (y // 2).to_bytes(3, "little")
+        head += (fw - 1).to_bytes(3, "little")
+        head += (fh - 1).to_bytes(3, "little")
+        head += int(duration_ms).to_bytes(3, "little")
+        head += bytes([0b10])  # no alpha-blend (overwrite rect), no dispose
+        self._frames.append(_chunk(b"ANMF", head + sub))
+
+        if self._canvas is None:
+            self._canvas = np.zeros((self.height, self.width, 4), np.uint8)
+            self._canvas[:, :] = np.array(self.background, np.uint8)
+        self._canvas[y : y + fh, x : x + fw] = patch
+        return self
+
+    def finish(self) -> bytes:
+        if not self._frames:
+            raise EncodingError("animation needs at least one frame")
+        anim = bytes(self.background) + int(self.loop_count).to_bytes(2, "little")
+        chunks = _vp8x(self.width, self.height, alpha=True, anim=True)
+        chunks += _chunk(b"ANIM", anim)
+        chunks += b"".join(self._frames)
+        return _riff(chunks)
