@@ -1,0 +1,180 @@
+"""Device-side VP8 boolean (arithmetic) encoding over many lanes.
+
+The range coder itself is bit-serial, but its SERIAL state is tiny
+(bottom/range/bit counter); the part that looks un-vectorizable — carry
+propagation through emitted 0xFF bytes — is just base-256 addition, and
+addition has a carry-lookahead form. So the encoder runs as:
+
+ 1. one lax.scan over the (prob, bit) op stream, vectorized across lanes
+    (e.g. batch x 8 coefficient partitions), whose per-step outputs are a
+    possible raw byte and a carry count — NO feedback into emitted bytes;
+ 2. a gather-only compaction of the emitted bytes per lane
+    (cumsum + searchsorted, same machinery as ops/sparse.py);
+ 3. carry resolution as big-integer addition with jax.lax.associative_scan
+    (generate/propagate per byte digit; between two byte emissions there
+    are exactly 8 range doublings, so per-digit carry addends are <= 8 and
+    one lookahead pass suffices);
+ 4. a tiny per-lane epilogue for the final flush (host side).
+
+Bit-exact against encode/boolenc.BoolEncoder (RFC 6386 §7.3 / reference
+encoder/arithmetic.rs:19-195) — see tests/test_boolenc2.py.
+
+Lane op streams are padded to a common length with `valid=0` no-ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("max_bytes",))
+def bool_encode_lanes(bits, probs, valid, max_bytes: int):
+    """Encode per-lane boolean op streams.
+
+    bits/probs/valid: [T, L] integer arrays (valid==0 steps are no-ops,
+    used to ragged-pad lanes). Returns (lead [L] int32 — nonzero means a
+    carry overflowed past the first byte and `lead` must be prepended,
+    bytes_out [L, max_bytes] uint8 carry-resolved, n_bytes [L], and the
+    final (bottom, range, bit_num) registers for the flush epilogue).
+    A lane whose output exceeds max_bytes reports n_bytes > max_bytes
+    (caller must fall back)."""
+    T, L = bits.shape
+
+    def step(carry, x):
+        bottom, rng, bit_num = carry  # bottom uint32
+        bit, prob, ok = x
+        split = (1 + (((rng - 1) * prob) >> 8)).astype(jnp.uint32)
+        bottom2 = jnp.where(bit != 0, bottom + split, bottom)
+        rng2 = jnp.where(bit != 0, rng - split.astype(jnp.int32), split.astype(jnp.int32))
+
+        emit_byte = jnp.zeros((L,), jnp.int32)
+        emitted = jnp.zeros((L,), jnp.int32)
+        carries = jnp.zeros((L,), jnp.int32)
+        # Renormalize: at most 7 doublings bring range back to >= 128.
+        # A carry after this step's emission is impossible (the flushed
+        # bottom is < 2^24 and <= 6 doublings remain), so every carry here
+        # belongs to a PREVIOUS byte and rides the `carries` count.
+        for _ in range(7):
+            need = rng2 < 128
+            carries = carries + jnp.where(
+                need & ((bottom2 >> 31) != 0), 1, 0
+            )
+            rng2 = jnp.where(need, rng2 << 1, rng2)
+            bottom2 = jnp.where(need, bottom2 << 1, bottom2)  # uint32 wraps
+            bit_num = bit_num - need.astype(jnp.int32)
+            do_emit = need & (bit_num == 0)
+            emit_byte = jnp.where(
+                do_emit, ((bottom2 >> 24) & 0xFF).astype(jnp.int32), emit_byte
+            )
+            emitted = emitted | do_emit.astype(jnp.int32)
+            bottom2 = jnp.where(do_emit, bottom2 & 0xFFFFFF, bottom2)
+            bit_num = jnp.where(do_emit, 8, bit_num)
+
+        okb = ok != 0
+        bottom = jnp.where(okb, bottom2, bottom)
+        rng = jnp.where(okb, rng2, rng)
+        # bit_num was modified in-loop; undo for invalid lanes
+        return (bottom, rng, jnp.where(okb, bit_num, carry[2])), (
+            emit_byte,
+            jnp.where(okb, emitted, 0),
+            jnp.where(okb, carries, 0),
+        )
+
+    init = (
+        jnp.zeros((L,), jnp.uint32),
+        jnp.full((L,), 255, jnp.int32),
+        jnp.full((L,), 24, jnp.int32),
+    )
+    (bottom, rng, bit_num), (ebytes, eflags, ecarr) = jax.lax.scan(
+        step,
+        init,
+        (bits.astype(jnp.int32), probs.astype(jnp.int32), valid.astype(jnp.int32)),
+    )
+    ebytes = ebytes.T  # [L, T]
+    eflags = eflags.T
+    ecarr = ecarr.T
+
+    cs = jnp.cumsum(eflags, axis=1)  # emitted-count prefix per lane
+    n_bytes = cs[:, -1]
+    ks = jnp.arange(1, max_bytes + 1, dtype=jnp.int32)
+
+    def one(cs_l, eb_l, ec_l):
+        idx = jnp.searchsorted(cs_l, ks, side="left")  # step of k-th emit
+        d = eb_l[jnp.clip(idx, 0, T - 1)]
+        d = jnp.where(idx < T, d, 0)
+        csc = jnp.cumsum(ec_l)
+        at_k = jnp.where(idx < T, csc[jnp.clip(idx, 0, T - 1)], csc[-1])
+        # addend[k] = carries arriving while digit k is the newest byte:
+        # strictly after emit_k, up to and including emit_{k+1}'s step.
+        nxt = jnp.concatenate([at_k[1:], csc[-1][None]])
+        addend = nxt - at_k
+        # carries before the first byte exists overflow past the stream
+        # start (BoolEncoder prepends 0x01): they ride a virtual lead digit.
+        early = at_k[0] if max_bytes > 0 else csc[-1]
+        return d, addend, early
+
+    digits, addend, early = jax.vmap(one)(cs, ebytes, ecarr)
+
+    # Base-256 carry-lookahead over [lead | digits]: carries flow from the
+    # last digit toward the front.
+    s = jnp.concatenate([early[:, None], digits + addend], axis=1)
+    g = (s >= 256).astype(jnp.int32)
+    p = (s == 255).astype(jnp.int32)
+
+    def comb(a, b):
+        ga, pa = a
+        gb, pb = b
+        return gb | (pb & ga), pb & pa
+
+    gr = jnp.flip(g, axis=1)
+    pr = jnp.flip(p, axis=1)
+    G, _ = jax.lax.associative_scan(comb, (gr, pr), axis=1)
+    carry_in = jnp.flip(
+        jnp.concatenate([jnp.zeros((L, 1), jnp.int32), G[:, :-1]], axis=1), axis=1
+    )
+    out = (s + carry_in) & 0xFF
+    return (
+        out[:, 0],
+        out[:, 1:].astype(jnp.uint8),
+        n_bytes,
+        (bottom, rng, bit_num),
+    )
+
+
+def flush_lane(bottom: int, bit_num: int, prefix: bytes) -> bytes:
+    """Host epilogue: replicate BoolEncoder.flush() on a lane's final
+    registers, applying any final carry to the already-resolved prefix."""
+    out = bytearray(prefix)
+    c = bit_num
+    v = int(bottom)
+    if v & (1 << (32 - c)):
+        i = len(out) - 1
+        while i >= 0:
+            if out[i] < 255:
+                out[i] += 1
+                break
+            out[i] = 0
+            i -= 1
+        else:
+            out[0:0] = b"\x01"
+    v = (v << (c & 7)) & 0xFFFFFFFF
+    c = (c >> 3) - 1
+    while c >= 0:
+        v = (v << 8) & 0xFFFFFFFF
+        c -= 1
+    for _ in range(4):
+        out.append((v >> 24) & 0xFF)
+        v = (v << 8) & 0xFFFFFFFF
+    return bytes(out)
+
+
+def assemble_lane(lead: int, data: np.ndarray, n: int, bottom: int,
+                  bit_num: int) -> bytes:
+    """Final per-lane byte stream: optional lead byte + resolved digits +
+    flush epilogue."""
+    prefix = (bytes([lead]) if lead else b"") + bytes(data[:n])
+    return flush_lane(bottom, bit_num, prefix)
