@@ -167,3 +167,26 @@ def test_near_lossless(photo):
         sizes[q] = len(data)
     assert sizes[60] < len(exact), (sizes, len(exact))
     assert sizes[40] < sizes[60], sizes
+
+
+def test_alpha_quality(photo):
+    """alpha_quality < 100 pre-quantizes the alpha plane (bounded error,
+    smaller ALPH chunks); 100 stays exact. Wired beyond the reference."""
+    from webp_tpu import EncoderConfig
+
+    h, w = 96, 128
+    yy = np.mgrid[:h, :w][0]
+    rng = np.random.RandomState(0)
+    alpha = np.clip(yy * 2 + rng.randint(-3, 4, (h, w)), 0, 255).astype(np.uint8)
+    rgba = np.dstack([photo[:h, :w, :3], alpha])
+
+    exact = Encoder.new_rgba(rgba).encode()
+    d = WebPDecoder(exact).read_image()
+    np.testing.assert_array_equal(d[:, :, 3], alpha)
+
+    cfg = EncoderConfig()
+    cfg.alpha_quality = 40
+    low = Encoder.new_rgba(rgba).with_config(cfg).encode()
+    d = WebPDecoder(low).read_image()
+    assert np.abs(d[:, :, 3].astype(int) - alpha.astype(int)).max() <= 4
+    assert len(low) < len(exact)

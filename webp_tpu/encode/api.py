@@ -264,8 +264,20 @@ class Encoder:
             if has_alpha:
                 from .vp8l import encode_alpha_lossless
 
-                alpha_plane = self.image[:, :, -1]
-                alph = _chunk(b"ALPH", encode_alpha_lossless(np.ascontiguousarray(alpha_plane)))
+                alpha_plane = np.ascontiguousarray(self.image[:, :, -1])
+                if self.config.alpha_quality < 100:
+                    # Lossy-ish alpha: near-lossless pre-quantization of the
+                    # plane before the (still lossless) ALPH compression —
+                    # bounded error, much smaller chunks at low settings.
+                    from .vp8l import near_lossless_preprocess
+
+                    rgba_a = np.repeat(alpha_plane[:, :, None], 4, axis=2)
+                    alpha_plane = np.ascontiguousarray(
+                        near_lossless_preprocess(
+                            rgba_a, int(self.config.alpha_quality)
+                        )[:, :, 0]
+                    )
+                alph = _chunk(b"ALPH", encode_alpha_lossless(alpha_plane))
                 body = alph + body
                 alpha_flag = True
             needs_vp8x = has_meta or alpha_flag
