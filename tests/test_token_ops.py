@@ -1,0 +1,126 @@
+"""Device token op-stream builder vs the host block writer.
+
+ops/token_ops.block_ops must emit the exact (prob, bit) sequence that
+Vp8Encoder._write_block feeds the boolean coder, for every (plane, first,
+ctx) combination and level pattern; combined with ops/boolenc2 it must
+reproduce a full coefficient-partition bitstream byte for byte.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from webp_tpu.common import vp8_tables as T
+from webp_tpu.ops.token_ops import SLOTS, block_ops
+
+
+class _OpRecorder:
+    """Stands in for BoolEncoder; records (bit, prob) pairs."""
+
+    def __init__(self):
+        self.ops = []
+
+    def write_bool(self, bit, prob):
+        self.ops.append((int(bit), int(prob)))
+
+    def write_with_path(self, path, probs):
+        for bit, node in path:
+            self.write_bool(bit, int(probs[node]))
+
+
+def _host_block_ops(levels, plane, first, ctx, probs):
+    from webp_tpu.encode.vp8 import Vp8Encoder
+
+    rec = _OpRecorder()
+    Vp8Encoder._write_block(None, rec, levels, plane, first, ctx, probs)
+    return rec.ops
+
+
+def _levels_cases(rng, n):
+    cases = []
+    for _ in range(n):
+        lv = np.zeros(16, np.int64)
+        kind = rng.randint(5)
+        if kind == 0:
+            pass  # empty
+        elif kind == 1:
+            k = rng.randint(1, 16)
+            lv[:k] = rng.randint(-4, 5, k)
+        elif kind == 2:
+            lv[rng.randint(16)] = rng.randint(1, 2048) * rng.choice([-1, 1])
+        elif kind == 3:
+            lv = rng.randint(-80, 81, 16)
+        else:
+            lv = rng.choice([0, 0, 0, 1, -1, 2, -2, 5, -7, 12, 40, -70, 600], 16)
+        cases.append(lv)
+    return cases
+
+
+def test_block_ops_match_host():
+    rng = np.random.RandomState(3)
+    probs = rng.randint(1, 256, (4, 8, 3, 11)).astype(np.uint8)
+    pf = jnp.asarray(probs.reshape(-1).astype(np.int32))
+
+    cases = []
+    metas = []
+    for plane, first in ((0, 1), (1, 0), (2, 0), (3, 0)):
+        for ctx in (0, 1, 2):
+            for lv in _levels_cases(rng, 12):
+                if first == 1:
+                    pass  # DC position may still carry a (skipped) value
+                cases.append(lv)
+                metas.append((plane, first, ctx))
+
+    lv_arr = jnp.asarray(np.stack(cases).astype(np.int32))
+    pl = jnp.asarray(np.array([m[0] for m in metas], np.int32))
+    fi = jnp.asarray(np.array([m[1] for m in metas], np.int32))
+    cx = jnp.asarray(np.array([m[2] for m in metas], np.int32))
+    prob, bit, valid = (np.asarray(a) for a in block_ops(lv_arr, pl, fi, cx, pf))
+    assert prob.shape == (len(cases), SLOTS)
+
+    for i, (lv, (plane, first, ctx)) in enumerate(zip(cases, metas)):
+        lvh = lv.copy()
+        if first == 1:
+            lvh[0] = 0  # the host writer assumes DC rides Y2; device masks it
+        want = _host_block_ops(lvh, plane, first, ctx, probs)
+        sel = valid[i] != 0
+        got = list(zip(bit[i][sel].tolist(), prob[i][sel].tolist()))
+        assert got == want, (i, plane, first, ctx, lv)
+
+
+def test_block_ops_roundtrip_boolenc():
+    """block_ops + bool_encode_lanes == BoolEncoder over whole blocks."""
+    from webp_tpu.encode.boolenc import BoolEncoder
+    from webp_tpu.ops.boolenc2 import assemble_lane, bool_encode_lanes
+
+    rng = np.random.RandomState(9)
+    probs = rng.randint(1, 256, (4, 8, 3, 11)).astype(np.uint8)
+    pf = jnp.asarray(probs.reshape(-1).astype(np.int32))
+    blocks = [rng.randint(-90, 91, 16) * rng.randint(0, 2, 16) for _ in range(40)]
+    lv = jnp.asarray(np.stack(blocks).astype(np.int32))
+    n = len(blocks)
+    pl = jnp.asarray(np.full(n, 3, np.int32))
+    fi = jnp.asarray(np.zeros(n, np.int32))
+    cx = jnp.asarray(rng.randint(0, 3, n).astype(np.int32))
+
+    prob, bit, valid = block_ops(lv, pl, fi, cx, pf)
+    # one lane: all blocks concatenated in order
+    p1 = np.asarray(prob).reshape(-1)
+    b1 = np.asarray(bit).reshape(-1)
+    v1 = np.asarray(valid).reshape(-1)
+    lead, data, nb, (bottom, rngs, bit_num) = bool_encode_lanes(
+        jnp.asarray(b1[:, None]), jnp.asarray(p1[:, None]),
+        jnp.asarray(v1.astype(np.int32)[:, None]), v1.sum() // 4 + 64,
+    )
+    got = assemble_lane(
+        int(np.asarray(lead)[0]), np.asarray(data)[0], int(np.asarray(nb)[0]),
+        int(np.asarray(bottom)[0]), int(np.asarray(bit_num)[0]),
+    )
+
+    enc = BoolEncoder()
+    from webp_tpu.encode.vp8 import Vp8Encoder
+
+    for i, blk in enumerate(blocks):
+        Vp8Encoder._write_block(None, enc, blk, 3, 0, int(np.asarray(cx)[i]), probs)
+    want = enc.flush()
+    assert got == want
