@@ -124,3 +124,62 @@ def test_block_ops_roundtrip_boolenc():
         Vp8Encoder._write_block(None, enc, blk, 3, 0, int(np.asarray(cx)[i]), probs)
     want = enc.flush()
     assert got == want
+
+
+@pytest.mark.parametrize("nparts", [1, 2, 4])
+def test_coeff_partitions_match_host(nparts):
+    """Full device pipeline (contexts -> op streams -> lane boolenc) must
+    reproduce the host's coefficient partition bytes exactly."""
+    from webp_tpu.encode.boolenc import BoolEncoder
+    from webp_tpu.encode.vp8 import Vp8Encoder, derive_skip_and_contexts, token_stream
+    from webp_tpu.ops.boolenc2 import assemble_lane
+    from webp_tpu.ops.token_ops import encode_coeff_partitions
+
+    rng = np.random.RandomState(11)
+    mbw, mbh = 6, 5
+    nmb = mbw * mbh
+    arrays = dict(
+        y_levels=(rng.randint(-30, 31, (nmb, 16, 16))
+                  * (rng.rand(nmb, 16, 16) < 0.2)).astype(np.int32),
+        uv_levels=(rng.randint(-20, 21, (nmb, 8, 16))
+                   * (rng.rand(nmb, 8, 16) < 0.15)).astype(np.int32),
+        y2_levels=(rng.randint(-500, 501, (nmb, 16))
+                   * (rng.rand(nmb, 16) < 0.4)).astype(np.int32),
+        luma_mode=rng.choice([0, 1, 2, 3, 4], nmb).astype(np.int32),
+        bpred=np.zeros((nmb, 16), np.int32),
+        chroma_mode=np.zeros(nmb, np.int32),
+    )
+    # a few fully skipped MBs
+    for i in rng.choice(nmb, 4, replace=False):
+        arrays["y_levels"][i] = 0
+        arrays["uv_levels"][i] = 0
+        arrays["y2_levels"][i] = 0
+    # B-mode MBs carry no Y2
+    arrays["y2_levels"][arrays["luma_mode"] == 4] = 0
+    probs = rng.randint(1, 256, (4, 8, 3, 11)).astype(np.uint8)
+
+    # Host: the writer's partition loop.
+    ctx = derive_skip_and_contexts(arrays, mbw, mbh)
+    levels, meta = token_stream(arrays, ctx, mbw, mbh)
+    want = []
+    for p in range(nparts):
+        enc = BoolEncoder()
+        psel = (meta[:, 3] % nparts) == p
+        for lv, m in zip(levels[psel], meta[psel]):
+            Vp8Encoder._write_block(None, enc, lv, int(m[0]), int(m[1]), int(m[2]), probs)
+        want.append(enc.flush())
+
+    # Device.
+    lead, data, n_bytes, (bottom, rngs, bit_num), n_ops = encode_coeff_partitions(
+        jnp.asarray(arrays["y2_levels"]), jnp.asarray(arrays["y_levels"]),
+        jnp.asarray(arrays["uv_levels"]), jnp.asarray(arrays["luma_mode"]),
+        jnp.asarray(probs.reshape(-1).astype(np.int32)),
+        mbw, mbh, nparts, max_ops=nmb * 25 * 40, max_bytes=8192,
+    )
+    lead, data, n_bytes = np.asarray(lead), np.asarray(data), np.asarray(n_bytes)
+    bottom, bit_num = np.asarray(bottom), np.asarray(bit_num)
+    for p in range(nparts):
+        got = assemble_lane(
+            int(lead[p]), data[p], int(n_bytes[p]), int(bottom[p]), int(bit_num[p])
+        )
+        assert got == want[p], f"partition {p} of {nparts}"

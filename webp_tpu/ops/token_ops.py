@@ -159,3 +159,153 @@ def block_ops(levels, plane, first, ctx0, probs_flat):
         [per_coeff_valid.reshape(*lead, -1), eb_valid], axis=-1
     )
     return prob, bit, valid
+
+
+# ---------------------------------------------------------------------------
+# whole-frame assembly: contexts, block order, partition compaction
+# ---------------------------------------------------------------------------
+
+
+def compute_contexts_dev(luma_mode, y2_levels, y_levels, uv_levels, mbw: int,
+                         mbh: int):
+    """jnp port of encode/contexts.compute_contexts (shifted nnz grids; the
+    Y2 chain skips B-mode MBs via an associative-scan forward fill)."""
+    nmb = mbw * mbh
+    has_y2 = luma_mode != 4
+    first = jnp.where(has_y2, 1, 0)
+
+    nz_full = (y_levels != 0).any(-1)
+    nz_ac = (y_levels[..., 1:] != 0).any(-1)
+    y_nz = jnp.where(has_y2[:, None], nz_ac, nz_full)
+    uv_nz = (uv_levels != 0).any(-1)
+    y2_nz = (y2_levels != 0).any(-1) & has_y2
+
+    def grid_ctx(nz, sub: int):
+        g = (
+            nz.reshape(mbh, mbw, sub, sub)
+            .transpose(0, 2, 1, 3)
+            .reshape(mbh * sub, mbw * sub)
+            .astype(jnp.int32)
+        )
+        t = jnp.concatenate([jnp.zeros((1, mbw * sub), jnp.int32), g[:-1]], 0)
+        l = jnp.concatenate([jnp.zeros((mbh * sub, 1), jnp.int32), g[:, :-1]], 1)
+        return (
+            (t + l)
+            .reshape(mbh, sub, mbw, sub)
+            .transpose(0, 2, 1, 3)
+            .reshape(nmb, sub * sub)
+        )
+
+    y_ctx = grid_ctx(y_nz, 4)
+    uv_ctx = jnp.concatenate(
+        [grid_ctx(uv_nz[:, :4], 2), grid_ctx(uv_nz[:, 4:], 2)], axis=1
+    )
+
+    vals = jnp.where(has_y2, y2_nz.astype(jnp.int32), -1).reshape(mbh, mbw)
+
+    def ffill_excl(a, axis):
+        def comb(x, y):
+            return jnp.where(y == -1, x, y)
+
+        shifted = jnp.concatenate(
+            [
+                jnp.full_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis), -1),
+                jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis),
+            ],
+            axis=axis,
+        )
+        return jax.lax.associative_scan(comb, shifted, axis=axis)
+
+    top_f = ffill_excl(vals, 0)
+    left_f = ffill_excl(vals, 1)
+    y2_ctx = (jnp.maximum(top_f, 0) + jnp.maximum(left_f, 0)).reshape(nmb)
+    return y2_ctx, y_ctx, uv_ctx, has_y2, first
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mbw", "mbh", "nparts", "max_ops", "max_bytes")
+)
+def encode_coeff_partitions(y2_levels, y_levels, uv_levels, luma_mode,
+                            probs_flat, mbw: int, mbh: int, nparts: int,
+                            max_ops: int, max_bytes: int):
+    """Levels (one image) -> final coefficient-partition bitstreams.
+
+    y2_levels [nmb, 16], y_levels [nmb, 16, 16], uv_levels [nmb, 8, 16]
+    int32; probs_flat [1056]. Returns (lead [P], bytes [P, max_bytes],
+    n_bytes [P], (bottom, range, bit_num) [P] each, n_ops [P]) — callers
+    must fall back when n_ops > max_ops or n_bytes > max_bytes.
+    vmap over images for batches.
+    """
+    nmb = mbw * mbh
+    skipped = (
+        (y_levels == 0).all((-2, -1))
+        & (uv_levels == 0).all((-2, -1))
+        & (y2_levels == 0).all(-1)
+    )
+    y2_ctx, y_ctx, uv_ctx, has_y2, first_y = compute_contexts_dev(
+        luma_mode, y2_levels, y_levels, uv_levels, mbw, mbh
+    )
+
+    levels = jnp.concatenate(
+        [y2_levels[:, None], y_levels, uv_levels], axis=1
+    )  # [nmb, 25, 16]
+    plane = jnp.zeros((nmb, 25), jnp.int32)
+    plane = plane.at[:, 0].set(1)
+    plane = plane.at[:, 1:17].set(jnp.where(has_y2, 0, 3)[:, None])
+    plane = plane.at[:, 17:].set(2)
+    first = jnp.zeros((nmb, 25), jnp.int32)
+    first = first.at[:, 1:17].set(first_y[:, None])
+    ctxs = jnp.concatenate([y2_ctx[:, None], y_ctx, uv_ctx], axis=1)
+    blk_ok = jnp.ones((nmb, 25), bool)
+    blk_ok = blk_ok.at[:, 0].set(has_y2)
+    blk_ok = blk_ok & (~skipped)[:, None]
+
+    prob, bit, valid = block_ops(levels, plane, first, ctxs, probs_flat)
+    valid = valid & blk_ok[..., None]
+    prob8 = prob.astype(jnp.uint8)
+    bit8 = bit.astype(jnp.uint8)
+
+    # Partition p carries MB rows r with r % nparts == p, raster order.
+    rows_per = (mbh + nparts - 1) // nparts
+    row_idx = np.full((nparts, rows_per), -1, np.int64)
+    for p in range(nparts):
+        rs = np.arange(p, mbh, nparts)
+        row_idx[p, : len(rs)] = rs
+    row_ok = jnp.asarray(row_idx >= 0)
+    row_gather = jnp.asarray(np.maximum(row_idx, 0))
+
+    S = prob.shape[-1]
+    prob_r = prob8.reshape(mbh, mbw * 25 * S)
+    bit_r = bit8.reshape(mbh, mbw * 25 * S)
+    val_r = valid.reshape(mbh, mbw * 25 * S)
+
+    pp = prob_r[row_gather].reshape(nparts, -1)  # [P, rows_per*mbw*25*S]
+    bb = bit_r[row_gather].reshape(nparts, -1)
+    vv = (val_r[row_gather] & row_ok[..., None]).reshape(nparts, -1)
+
+    n_flat = pp.shape[-1]
+    cs = jnp.cumsum(vv.astype(jnp.int32), axis=-1)
+    n_ops = cs[:, -1]
+    ks = jnp.arange(1, max_ops + 1, dtype=jnp.int32)
+
+    def one(cs_p, pp_p, bb_p):
+        idx = jnp.searchsorted(cs_p, ks, side="left")
+        ok = idx < n_flat
+        gi = jnp.clip(idx, 0, n_flat - 1)
+        return (
+            jnp.where(ok, pp_p[gi], 128),
+            jnp.where(ok, bb_p[gi], 0),
+            ok,
+        )
+
+    probs_c, bits_c, ok_c = jax.vmap(one)(cs, pp, bb)  # [P, max_ops]
+
+    from .boolenc2 import bool_encode_lanes
+
+    lead, data, n_bytes, state = bool_encode_lanes(
+        bits_c.T.astype(jnp.int32),
+        probs_c.T.astype(jnp.int32),
+        ok_c.T.astype(jnp.int32),
+        max_bytes,
+    )
+    return lead, data, n_bytes, state, n_ops
