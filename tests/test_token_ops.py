@@ -183,3 +183,39 @@ def test_coeff_partitions_match_host(nparts):
             int(lead[p]), data[p], int(n_bytes[p]), int(bottom[p]), int(bit_num[p])
         )
         assert got == want[p], f"partition {p} of {nparts}"
+
+
+def test_batch_device_tokens_byte_equal():
+    """encode_frames_lossy_batch(device_tokens=True) == the host writer at
+    8 partitions, byte for byte (same analysis, same adapted probs)."""
+    from webp_tpu.encode import vp8 as E
+
+    rng = np.random.RandomState(6)
+    base = np.kron(
+        rng.randint(0, 256, (6, 8, 3)).astype(np.uint8), np.ones((16, 16, 1), np.uint8)
+    )
+    imgs = [
+        np.clip(base.astype(np.int32) + rng.randint(-5, 6, base.shape), 0, 255).astype(np.uint8)
+        for _ in range(2)
+    ]
+    h, w = imgs[0].shape[:2]
+    mbw, mbh = w // 16, h // 16
+    planes = [E.yuvops.rgb_to_yuv420(im) for im in imgs]
+
+    got = E.encode_frames_lossy_batch(imgs, 75, 4, device_tokens=True)
+
+    # Expectation: same fetched analysis, host token writer at 8 partitions.
+    fetched = E.analyze_frames_lossy_batch(
+        planes, 75, 4, mbw, mbh, device_tokens=False
+    )()
+    arrays_list, probs = fetched
+    want = []
+    for i in range(len(imgs)):
+        enc = E.Vp8Encoder(75, 4, backend="device", two_pass=True,
+                           num_partitions=E.DEVICE_TOKEN_PARTS)
+        enc.probs_override = probs[i]
+        enc._setup_segments = lambda qi, e=enc: E.Vp8Encoder._setup_segments_off(e)
+        enc._analysis_arrays = lambda a=arrays_list[i]: dict(a)
+        y, u, v = planes[i]
+        want.append(enc.encode_yuv(y, u, v, w, h))
+    assert got == want

@@ -12,6 +12,8 @@ nnz contexts exactly as the decoder expects them.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..common import vp8_tables as T
@@ -81,6 +83,10 @@ class Vp8Encoder:
         self.backend = backend  # "python" | "device"
         self.two_pass = two_pass
         self.num_partitions = num_partitions
+        # Batch-pipeline injection points: pre-encoded coefficient
+        # partitions (device token coding) and the matching skip flags.
+        self.partitions_override = None
+        self.skip_override = None
 
     # ------------------------------------------------------------- helpers
 
@@ -138,6 +144,12 @@ class Vp8Encoder:
         from .contexts import compute_contexts
 
         def derive(arrays):
+            if self.skip_override is not None:
+                # Device token coding: skip flags computed on the device and
+                # the partition bitstreams arrive pre-encoded, so the level
+                # arrays (and their contexts) never cross to the host.
+                arrays["skipped"] = self.skip_override
+                return None
             skipped = (
                 (arrays["y_levels"] == 0).all(axis=(1, 2))
                 & (arrays["uv_levels"] == 0).all(axis=(1, 2))
@@ -884,6 +896,28 @@ class Vp8Encoder:
 
         # Residual tokens: MB row r goes to partition r % n (the container's
         # per-partition parallel-entropy hook; decoder side already handles 8).
+        if self.partitions_override is not None:
+            part_streams = list(self.partitions_override)
+            assert len(part_streams) == self.num_partitions
+            part_bytes = b"".join(
+                len(pb).to_bytes(3, "little") for pb in part_streams[:-1]
+            ) + b"".join(part_streams)
+            if header_bytes is None:
+                header_bytes = header.flush()
+            if len(header_bytes) >= (1 << 19):
+                from ..errors import EncodingError
+
+                raise EncodingError("partition 0 overflow (header > 512 KiB)")
+            out = bytearray()
+            tag = (len(header_bytes) << 5) | (1 << 4) | 0
+            out += bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+            out += b"\x9d\x01\x2a"
+            out += bytes([self.width & 0xFF, (self.width >> 8) & 0x3F])
+            out += bytes([self.height & 0xFF, (self.height >> 8) & 0x3F])
+            out += header_bytes
+            out += part_bytes
+            return bytes(out)
+
         levels, meta = self._token_stream(arrays, ctx)
         part_streams = []
         for p in range(self.num_partitions):
@@ -1082,8 +1116,84 @@ def _fetch_packed(packed, planes, fallback):
     return list(_host_pool().map(one, range(len(planes))))
 
 
+DEVICE_TOKEN_PARTS = 8
+
+
+def _token_budgets(nmb: int, nparts: int):
+    """Static op/byte budgets per partition lane (overflow -> fallback)."""
+    max_ops = max(4096, (nmb * 900) // nparts)
+    max_bytes = max(2048, (nmb * 120) // nparts)
+    return max_ops, max_bytes
+
+
+def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
+                  do_trellis, sid):
+    """Device-token fetch: finished partition bitstreams + mode metadata;
+    levels stay on the device (fetched per image only on budget overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.boolenc2 import assemble_lane
+    from ..ops.encode_wavefront2 import (
+        encode_analysis_batch_v2_pertbl_tokens,
+        unpack_analysis,
+    )
+
+    nmb = mbw * mbh
+    nparts = DEVICE_TOKEN_PARTS
+    max_ops, max_bytes = _token_budgets(nmb, nparts)
+    pf = jnp.asarray(np.stack(probs).reshape(len(probs), -1).astype(np.int32))
+    (meta8_d, lead_d, tok_d, tok_n_d, state_d, n_ops_d,
+     lv8_d, esc_pos_d, esc_val_d, esc_over_d) = (
+        encode_analysis_batch_v2_pertbl_tokens(
+            Y, U, V, P, tables, pf, mbw, mbh, n_try, do_trellis,
+            nparts, max_ops, max_bytes, sid,
+        )
+    )
+    meta8 = np.asarray(meta8_d)
+    lead = np.asarray(lead_d)
+    tok_n = np.asarray(tok_n_d)
+    n_ops = np.asarray(n_ops_d)
+    bottom = np.asarray(state_d[0])
+    bit_num = np.asarray(state_d[2])
+    tok = np.asarray(tok_d)
+
+    arrays_list, parts_list = [], []
+    zero_y = np.zeros((nmb, 16, 16), np.int32)
+    zero_uv = np.zeros((nmb, 8, 16), np.int32)
+    zero_y2 = np.zeros((nmb, 16), np.int32)
+    for i in range(len(planes)):
+        ok = (n_ops[i] <= max_ops).all() and (tok_n[i] <= max_bytes).all()
+        if not ok or bool(np.asarray(esc_over_d[i])):  # pragma: no cover
+            arr = unpack_analysis(
+                np.asarray(lv8_d[i]), meta8[i, :, :18],
+                np.asarray(esc_pos_d[i]), np.asarray(esc_val_d[i]),
+            )
+            arrays_list.append(arr)
+            parts_list.append(None)
+            continue
+        parts = [
+            assemble_lane(
+                int(lead[i, p]), tok[i, p], int(tok_n[i, p]),
+                int(bottom[i, p]), int(bit_num[i, p]),
+            )
+            for p in range(nparts)
+        ]
+        arrays_list.append(
+            dict(
+                y_levels=zero_y, uv_levels=zero_uv, y2_levels=zero_y2,
+                bpred=meta8[i, :, :16].astype(np.int32),
+                luma_mode=meta8[i, :, 16].astype(np.int32),
+                chroma_mode=meta8[i, :, 17].astype(np.int32),
+            )
+        )
+        parts_list.append((parts, meta8[i, :, 18].astype(bool)))
+    return arrays_list, probs, parts_list
+
+
 def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
-                               two_pass: bool = True, segments: bool = False):
+                               two_pass: bool = True, segments: bool = False,
+                               device_tokens: bool = None):
     """Dispatch the batched device RD analysis (async; packed transfer).
 
     Mirrors the reference two-pass flow across a whole batch: pass 1 (no
@@ -1156,6 +1266,10 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     # with per-image adapted cost tables.
     from ..ops.encode_wavefront2 import encode_analysis_stats_batch
 
+    if device_tokens is None:
+        device_tokens = os.environ.get("WEBP_TPU_DEVICE_TOKENS") == "1"
+    dev_tokens = bool(device_tokens)
+
     stats = encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1, sid)
 
     def fetch():
@@ -1172,6 +1286,13 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
         from ..ops.encode_wavefront2 import enc_tables_from_probs
 
         tables = enc_tables_from_probs(jnp.asarray(np.stack(probs)))
+
+        if dev_tokens:
+            return _fetch_tokens(
+                Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
+                method >= 4, sid,
+            )
+
         packed2 = encode_analysis_batch_v2_pertbl_packed(
             Y, U, V, P, tables, mbw, mbh, n_try, method >= 4, sid
         )
@@ -1199,7 +1320,8 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
 
 
 def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
-                              two_pass: bool = True, segments: bool = False) -> list:
+                              two_pass: bool = True, segments: bool = False,
+                              device_tokens: bool = None) -> list:
     """Encode same-geometry RGB frames with batched device analysis.
 
     The wavefront RD search runs as batched kernels (two-pass probability
@@ -1210,7 +1332,7 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
     planes = list(_host_pool().map(yuvops.rgb_to_yuv420, rgbs))
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     fetched = analyze_frames_lossy_batch(
-        planes, quality, method, mbw, mbh, two_pass, segments
+        planes, quality, method, mbw, mbh, two_pass, segments, device_tokens
     )()
     return finish_frames_lossy_batch(
         planes, fetched, quality, method, w, h, segments
@@ -1221,19 +1343,35 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
                               segments: bool = False) -> list:
     """Host half of the batched encode: probs injection, contexts, entropy.
 
-    `fetched` is (arrays, probs) from analyze_frames_lossy_batch: for the
+    `fetched` is (arrays, probs) from analyze_frames_lossy_batch — or
+    (arrays, probs, parts) in the device-token flow, where parts[i] carries
+    each image's pre-encoded coefficient partitions + skip flags: for the
     two-pass flow, `probs` carries each image's pass-1-adapted probabilities
     (from device statistics) and `arrays` the pass-2 decisions — together
     they reproduce the single-image two-pass flow exactly."""
-    arrays_list, probs = fetched
+    if len(fetched) == 3:
+        arrays_list, probs, parts_list = fetched
+    else:
+        arrays_list, probs = fetched
+        parts_list = None
 
     def one(i):
         two_pass = probs is not None
-        enc = Vp8Encoder(quality, method, backend="device", two_pass=two_pass)
+        nparts = (
+            DEVICE_TOKEN_PARTS
+            if parts_list is not None and parts_list[i] is not None
+            else 1
+        )
+        enc = Vp8Encoder(
+            quality, method, backend="device", two_pass=two_pass,
+            num_partitions=nparts,
+        )
         if two_pass:
             enc.probs_override = probs[i]
         if not segments:
             enc._setup_segments = lambda qi: Vp8Encoder._setup_segments_off(enc)
+        if parts_list is not None and parts_list[i] is not None:
+            enc.partitions_override, enc.skip_override = parts_list[i]
         y, u, v = planes[i]
         enc._analysis_arrays = lambda a=arrays_list[i]: dict(a)
         return enc.encode_yuv(y, u, v, w, h)

@@ -1103,6 +1103,95 @@ def encode_analysis_batch_v2_pertbl_packed(
     return tuple(a[:, 0] for a in outs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mbw", "mbh", "n_try", "do_trellis", "nparts", "max_ops",
+                     "max_bytes"),
+)
+def encode_analysis_batch_v2_pertbl_tokens(
+    ybufs, ubufs, vbufs, params_tree, tables_batched, probs_flat, mbw: int,
+    mbh: int, n_try: int, do_trellis: bool, nparts: int, max_ops: int,
+    max_bytes: int, segment_ids=None,
+):
+    """Pass-2 analysis + DEVICE token encoding in one graph (per-image cost
+    tables AND per-image adapted probabilities).
+
+    Returns (meta8 [B,nmb,19] uint8 — bpred, luma_mode, chroma_mode, skip —
+    plus the finished coefficient partitions: lead [B,P], tok [B,P,max_bytes]
+    uint8, tok_n [B,P], tok_state (bottom/range/bit_num [B,P]), n_ops [B,P])
+    and, device-resident for the overflow fallback, the dense int8 levels +
+    escape lists of the packed transfer format.
+    """
+    from .token_ops import encode_coeff_partitions
+
+    nmb = mbw * mbh
+
+    def pack_lv(out):
+        lv = jnp.concatenate(
+            [
+                out["y_levels"].reshape(*out["y_levels"].shape[:2], 256),
+                out["uv_levels"].reshape(*out["uv_levels"].shape[:2], 128),
+                out["y2_levels"],
+            ],
+            axis=-1,
+        ).astype(jnp.int32)[0]
+        lv8 = jnp.clip(lv, -128, 127).astype(jnp.int8)
+        mask = jnp.abs(lv) > 127
+        pos_list, val_list = [], []
+        iota = jnp.arange(400, dtype=jnp.int32)
+        for _ in range(N_ESC):
+            idx = jnp.argmax(mask, axis=-1)
+            found = mask.any(-1)
+            val = jnp.take_along_axis(lv, idx[..., None], axis=-1)[..., 0]
+            pos_list.append(jnp.where(found, idx, -1).astype(jnp.int16))
+            val_list.append(jnp.where(found, val, 0).astype(jnp.int16))
+            mask = mask & (iota != idx[..., None])
+        overflow = mask.any((-1, -2))
+        return (
+            lv8,
+            jnp.stack(pos_list, axis=-1),
+            jnp.stack(val_list, axis=-1),
+            overflow,
+        )
+
+    def one(y, u, v, tbl, pf, p1, sid):
+        out = encode_analysis_batch_v2.__wrapped__(
+            y[None], u[None], v[None], p1, tbl, mbw, mbh, n_try, do_trellis,
+            sid[None] if sid is not None else None,
+        )
+        y2 = out["y2_levels"][0]
+        yl = out["y_levels"][0]
+        uv = out["uv_levels"][0]
+        lm = out["luma_mode"][0].astype(jnp.int32)
+        lead, tok, tok_n, state, n_ops = encode_coeff_partitions.__wrapped__(
+            y2, yl, uv, lm, pf, mbw, mbh, nparts, max_ops, max_bytes
+        )
+        skipped = (
+            (yl == 0).all((-2, -1)) & (uv == 0).all((-2, -1)) & (y2 == 0).all(-1)
+        )
+        meta8 = jnp.concatenate(
+            [
+                out["bpred"][0],
+                out["luma_mode"][0][..., None],
+                out["chroma_mode"][0][..., None],
+                skipped[..., None].astype(jnp.uint8),
+            ],
+            axis=-1,
+        )
+        lv8, esc_pos, esc_val, esc_over = pack_lv(out)
+        return meta8, lead, tok, tok_n, state, n_ops, lv8, esc_pos, esc_val, esc_over
+
+    if segment_ids is None:
+        outs = jax.vmap(
+            lambda y, u, v, tbl, pf: one(y, u, v, tbl, pf, params_tree, None)
+        )(ybufs, ubufs, vbufs, tables_batched, probs_flat)
+    else:
+        outs = jax.vmap(
+            lambda y, u, v, tbl, pf, p1, sid: one(y, u, v, tbl, pf, p1, sid)
+        )(ybufs, ubufs, vbufs, tables_batched, probs_flat, params_tree, segment_ids)
+    return outs
+
+
 def stack_enc_tables(tables_list):
     """Per-image EncTables -> one EncTables pytree with [B]-leading leaves."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tables_list)
