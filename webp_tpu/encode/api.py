@@ -18,7 +18,9 @@ from ..ops import yuv as yuvops
 
 
 class Preset:
-    """Content presets (accepted for API parity; tuning hooks for later)."""
+    """Content presets. The reference accepts these and ignores them
+    (api.rs:633-640); here they tune real knobs: photographic presets turn
+    on sharp-YUV chroma, synthetic-content presets route to lossless."""
 
     DEFAULT = "default"
     PICTURE = "picture"
@@ -151,6 +153,12 @@ class Encoder:
 
     def with_preset(self, preset: str):
         self.config.preset = preset
+        if preset in (Preset.PHOTO, Preset.PICTURE):
+            self.config.sharp_yuv = True
+        elif preset in (Preset.ICON, Preset.TEXT):
+            # Hard-edged synthetic content: lossless (the palette and LZ77
+            # paths compress it far better than blocky lossy).
+            self.config.lossless = True
         return self
 
     def with_sharp_yuv(self, sharp: bool = True):
