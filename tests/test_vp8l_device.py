@@ -129,3 +129,29 @@ def test_predictor_matches(size_bits, h, w):
         dev.inverse_predictor_batch(jnp.asarray(px), jnp.asarray(modes), size_bits)
     )
     assert np.array_equal(got, want)
+
+
+def test_batch_device_decodes_own_encoder_streams():
+    """The device transform path must handle OUR encoder's full toolset
+    (LZ77, per-block predictors, cross-color, meta-Huffman, palette)."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    from webp_tpu.decode.vp8l_device import decode_lossless_batch_device
+    from webp_tpu.encode.vp8l import encode_lossless
+
+    png = Path("/root/reference/tests/reference/gallery2/2_webp_ll.png")
+    if not png.exists():
+        pytest.skip("corpus unavailable")
+    img = np.asarray(Image.open(png).convert("RGBA"))[:160, :192].copy()
+    h, w = img.shape[:2]
+    data = encode_lossless(img)
+    out = decode_lossless_batch_device([data, data], w, h)
+    assert np.array_equal(out[0], img) and np.array_equal(out[1], img)
+
+    rng = np.random.RandomState(0)
+    pal = rng.randint(0, 256, (9, 4)).astype(np.uint8)
+    pimg = pal[rng.randint(0, 9, (40, 56))]
+    pout = decode_lossless_batch_device([encode_lossless(pimg)], 56, 40)
+    assert np.array_equal(pout[0], pimg)
