@@ -484,6 +484,8 @@ def _pick_color_transform(u: np.ndarray, w: int, h: int, size_bits: int):
 
 
 _PRED_COST_LUT = np.log2(1.0 + np.arange(129))
+# fixed-point (1/32 bit) variant for the int16 predictor-cost hot path
+_PRED_COST_LUT32 = np.round(_PRED_COST_LUT * 32.0).astype(np.uint8)
 
 
 def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits: int):
@@ -494,7 +496,7 @@ def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits: int):
     entropy surrogate; forced-mode edge pixels (row 0 = L, column 0 = T)
     are excluded. Returns (modes [bh, bw] uint8, residual [h, w, 4] int64).
     """
-    u = u.astype(np.int32)
+    u = u.astype(np.int16)
     L = np.zeros_like(u)
     L[:, 1:] = u[:, :-1]
     T = np.zeros_like(u)
@@ -509,7 +511,7 @@ def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits: int):
     def avg2(a, b):
         return (a + b) >> 1
 
-    preds = np.empty((14, h, w, 4), np.int32)
+    preds = np.empty((14, h, w, 4), np.int16)
     preds[0] = 0
     preds[0, :, :, 3] = 255
     preds[1] = L
@@ -534,15 +536,19 @@ def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits: int):
 
     res = (u[None] - preds) & 0xFF
     wrapped = np.minimum(res, 256 - res)  # 0 stays 0
-    cost_px = _PRED_COST_LUT[wrapped].sum(-1)  # [14, h, w]
+    cost_px = (
+        _PRED_COST_LUT32[wrapped]
+        .astype(np.uint16)
+        .sum(-1, dtype=np.int32)
+    )  # [14, h, w] in 1/32 bits
     # Forced-mode pixels don't discriminate between block modes.
-    cost_px[:, 0, :] = 0.0
-    cost_px[:, :, 0] = 0.0
+    cost_px[:, 0, :] = 0
+    cost_px[:, :, 0] = 0
 
     S = 1 << size_bits
     bw = _subsample_enc(w, size_bits)
     bh = _subsample_enc(h, size_bits)
-    padded = np.zeros((14, bh * S, bw * S))
+    padded = np.zeros((14, bh * S, bw * S), np.int32)
     padded[:, :h, :w] = cost_px
     cost_blk = padded.reshape(14, bh, S, bw, S).sum((2, 4))
     modes = np.argmin(cost_blk, axis=0).astype(np.uint8)  # [bh, bw]
