@@ -1,15 +1,19 @@
 """VP8L (lossless WebP) encoder.
 
-Capability parity with the reference encoder
-(`/root/reference/src/encoder/api.rs:936-1222`): always subtract-green,
-optional whole-image TOP predictor transform, distance-1 run-length backrefs
-(single-entry distance tree), and length-limited canonical Huffman codes.
+Well beyond the reference encoder's subset (that is subtract-green + a
+whole-image TOP predictor + distance-1 runs,
+`/root/reference/src/encoder/api.rs:936-1222`). This one carries:
+subtract-green; per-block best-of-14 predictor transform; per-block
+cross-color transform; windowed LZ77 (native hash-chain matcher) with real
+distance plane codes; an entropy-gated color cache; meta-Huffman entropy
+groups; rep-coded tree serialization; a palette (color-indexing) path for
+<=256-color images; and near-lossless pre-quantization.
 
-The implementation is array-oriented: transforms are whole-frame numpy diffs,
-the pixel stream is run-length factored with vectorized comparisons, per-symbol
-(code, nbits) streams are built by table lookup, and the final LSB-first bit
-packing is a vectorized scatter-add (disjoint bit ranges never carry), which is
-also the shape of the device packer.
+The implementation is array-oriented: transforms are whole-frame numpy ops,
+cost surrogates are fixed-point LUT sums, per-symbol (code, nbits) streams
+build by table lookup, and the final LSB-first bit packing is a vectorized
+scatter-add (disjoint bit ranges never carry) — the same shapes the device
+kernels use. Only the LZ77 match search is serial C++ (native/vp8l.cpp).
 """
 
 from __future__ import annotations
@@ -448,7 +452,6 @@ def _pick_color_transform(u: np.ndarray, w: int, h: int, size_bits: int):
         return cblk[np.arange(h) >> size_bits][:, np.arange(w) >> size_bits]
 
     gs = _s8(u[:, :, 1])
-    gain = 0.0
 
     def apply(chan, xs, name_cost0):
         """Pick per-block coef for `chan -= (coef*xs)>>5`; returns
