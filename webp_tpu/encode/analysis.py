@@ -137,7 +137,10 @@ def analyze_image(ybuf, ubuf, vbuf, mbw: int, mbh: int):
     alpha = (3 * best_alpha + best_uv + 2) >> 2
     final = np.clip(MAX_ALPHA - alpha, 0, MAX_ALPHA).astype(np.int64)
     histogram = np.bincount(final, minlength=256)
-    return final, histogram
+    # Mean chroma susceptibility, for the content-adaptive uvac quant delta
+    # (libwebp's enc->uv_alpha_).
+    uv_alpha = int(best_uv.mean()) if nmb else 0
+    return final, histogram, uv_alpha
 
 
 def assign_segments_kmeans(histogram, num_segments: int = 4):

@@ -103,18 +103,21 @@ DQ_UV_DC = -2
 class SegmentParams:
     """Quantizers, matrices, and RD lambdas for one segment."""
 
-    def __init__(self, quant_index: int, quantizer_delta: int = 0):
+    def __init__(self, quant_index: int, quantizer_delta: int = 0,
+                 uv_ac_delta: int = 0):
         qi = min(max(quant_index + quantizer_delta, 0), 127)
         self.quant_index = qi
         self.quantizer_level = quantizer_delta
+        self.uv_ac_delta = uv_ac_delta
         self.ydc = int(T.DC_QUANT[qi])
         self.yac = int(T.AC_QUANT[qi])
         self.y2dc = int(T.DC_QUANT[qi]) * 2
         self.y2ac = max(int(T.AC_QUANT[qi]) * 155 // 100, 8)
         uvdc_i = min(max(qi + DQ_UV_DC, 0), 127)
+        uvac_i = min(max(qi + uv_ac_delta, 0), 127)
         # Clamped to 132 to stay consistent with decoder dequantization.
         self.uvdc = min(int(T.DC_QUANT[uvdc_i]), 132)
-        self.uvac = int(T.AC_QUANT[qi])
+        self.uvac = int(T.AC_QUANT[uvac_i])
 
         self.y1 = Matrix(self.ydc, self.yac, "y1")
         self.y2 = Matrix(self.y2dc, self.y2ac, "y2")
