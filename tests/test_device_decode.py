@@ -49,3 +49,23 @@ def test_batch_levels_decode_exact(fixtures, goldens, name, golden):
     want = _want(goldens, golden)
     np.testing.assert_array_equal(rgb[0], want)
     np.testing.assert_array_equal(rgb[1], want)
+
+
+def test_mixed_geometry_batch(goldens, fixtures):
+    """Mixed-size payload lists decode through per-geometry buckets and
+    come back in input order, equal to per-image decode."""
+    from webp_tpu.container import chunks as ck
+    from webp_tpu.container.demux import WebPDecoder
+    from webp_tpu.decode.device import (
+        decode_vp8_batch_device,
+        decode_vp8_batch_device_mixed,
+    )
+
+    payloads = []
+    for name in ("1", "2", "1", "4", "2"):
+        data = (fixtures / "gallery1" / f"{name}.webp").read_bytes()
+        payloads.append(bytes(WebPDecoder(data)._chunk_bytes(ck.VP8)))
+    got = decode_vp8_batch_device_mixed(payloads)
+    for i, p in enumerate(payloads):
+        want = decode_vp8_batch_device([p])[0]
+        assert np.array_equal(got[i], want), i

@@ -485,3 +485,23 @@ def _decode_core(
             y, u, v, level, interior, hev_t, do_sub, mbw, mbh, simple
         )
     return jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)
+
+
+def decode_vp8_batch_device_mixed(payloads, device_out: bool = False):
+    """Batched decode for payloads of MIXED geometries: groups by (w, h)
+    and dispatches one batched device call per geometry bucket (each bucket
+    compiles once and is cached), returning results in input order.
+
+    Addresses the mixed-size production case (one compiled kernel per
+    geometry bucket rather than per image)."""
+    dims = [native_parse_dims(p) for p in payloads]
+    groups = {}
+    for i, d in enumerate(dims):
+        groups.setdefault(d, []).append(i)
+    out = [None] * len(payloads)
+    for d, idxs in groups.items():
+        handles = dispatch_decode_batch([payloads[i] for i in idxs])
+        arr = handles if device_out else np.asarray(handles)
+        for j, i in enumerate(idxs):
+            out[i] = arr[j]
+    return out
