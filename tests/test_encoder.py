@@ -190,3 +190,21 @@ def test_alpha_quality(photo):
     d = WebPDecoder(low).read_image()
     assert np.abs(d[:, :, 3].astype(int) - alpha.astype(int)).max() <= 4
     assert len(low) < len(exact)
+
+
+def test_mixed_geometry_batch_encode(photo):
+    """Mixed-geometry batch encode groups by (h, w) — and, regression: a
+    second geometry must not trip over trace-bound module constants."""
+    from webp_tpu.encode.vp8 import (
+        encode_frames_lossy_batch,
+        encode_frames_lossy_batch_mixed,
+    )
+
+    imgs = [
+        np.ascontiguousarray(photo[:64, :96, :3]),
+        np.ascontiguousarray(photo[:96, :64, :3]),
+        np.ascontiguousarray(photo[:64, :96, :3]),
+    ]
+    got = encode_frames_lossy_batch_mixed(imgs, 75, 3)
+    for i, im in enumerate(imgs):
+        assert got[i] == encode_frames_lossy_batch([im], 75, 3)[0], i

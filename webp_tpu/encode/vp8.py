@@ -1390,3 +1390,21 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
         return enc.encode_yuv(y, u, v, w, h)
 
     return list(_host_pool().map(one, range(len(planes))))
+
+
+def encode_frames_lossy_batch_mixed(rgbs, quality: int = 75, method: int = 4,
+                                    two_pass: bool = True,
+                                    segments: bool = False) -> list:
+    """Batched encode for frames of MIXED geometries: one batched device
+    dispatch per (h, w) bucket (each compiles once), results in input order."""
+    groups = {}
+    for i, im in enumerate(rgbs):
+        groups.setdefault(im.shape[:2], []).append(i)
+    out = [None] * len(rgbs)
+    for _, idxs in groups.items():
+        res = encode_frames_lossy_batch(
+            [rgbs[i] for i in idxs], quality, method, two_pass, segments
+        )
+        for j, i in enumerate(idxs):
+            out[i] = res[j]
+    return out

@@ -52,8 +52,10 @@ from .wavefront2 import (
     schedule_mb_data,
 )
 
-_IZZ_J = jnp.asarray(IZZ)
-_ZZ_J = jnp.asarray(ZZ)
+# numpy on purpose (see ops/token_stats.py: module-level jnp constants can
+# bind to a trace when first imported inside a jitted body)
+_IZZ_J = np.asarray(IZZ)
+_ZZ_J = np.asarray(ZZ)
 
 # --- static cost-table decompositions (built once, in numpy) ----------------
 

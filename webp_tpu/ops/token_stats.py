@@ -24,9 +24,10 @@ import numpy as np
 from ..encode import tables as ET
 
 _BANDS = np.array(ET.VP8_ENC_BANDS[:16], np.int32)
-_BAND_OH = jnp.asarray(
-    (np.arange(8)[None, :] == _BANDS[:, None]).astype(np.float32)
-)  # [16 positions, 8 bands]
+# numpy on purpose: module-level jnp constants become trace-bound tracers
+# when the module's first import happens inside a jitted body (lazy import),
+# breaking any later trace. jnp ops lift numpy constants per trace instead.
+_BAND_OH = (np.arange(8)[None, :] == _BANDS[:, None]).astype(np.float32)  # [16, 8]
 
 
 def _ffill_exclusive_j(vals):

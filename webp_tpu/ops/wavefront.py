@@ -529,8 +529,10 @@ def _build_bpred_matrix():
 
 
 _BPRED_W_np, _BPRED_R_np = _build_bpred_matrix()
-_BPRED_W = jnp.asarray(_BPRED_W_np)
-_BPRED_R = jnp.asarray(_BPRED_R_np)
+# numpy on purpose (see ops/token_stats.py: module-level jnp constants can
+# bind to a trace when first imported inside a jitted body)
+_BPRED_W = _BPRED_W_np
+_BPRED_R = _BPRED_R_np
 
 
 def _predict_b_all_mat(patch):
@@ -543,6 +545,6 @@ def _predict_b_all_mat(patch):
 def _predict_b_one(patch, mode):
     """Single B-mode prediction via a [13]x[13,16] gathered matmul."""
     b = jnp.concatenate([patch[0, 0:9], patch[1:5, 0]])
-    W = _BPRED_W.reshape(13, 10, 16)[:, mode]
-    R = _BPRED_R.reshape(10, 16)[mode]
+    W = jnp.asarray(_BPRED_W).reshape(13, 10, 16)[:, mode]
+    R = jnp.asarray(_BPRED_R).reshape(10, 16)[mode]
     return jnp.clip((b @ W + R) >> 3, 0, 255).reshape(4, 4)

@@ -38,8 +38,10 @@ from .wavefront import _BPRED_W_np, _BPRED_R_np
 
 # [13, 160] / [160] integer B-predictor matrices (see wavefront.py): all ten
 # 4x4 B-mode predictions are (b13 @ W + R) >> 3 with b13 = [tl, a0..7, l0..3].
-_W13 = jnp.asarray(_BPRED_W_np.astype(np.float32))
-_R13 = jnp.asarray(_BPRED_R_np)
+# numpy on purpose (see ops/token_stats.py: module-level jnp constants can
+# bind to a trace when first imported inside a jitted body)
+_W13 = _BPRED_W_np.astype(np.float32)
+_R13 = _BPRED_R_np
 
 
 def make_schedule_gather(mbw: int, mbh: int):
