@@ -189,23 +189,31 @@ def main():
 
     ll_path = Path("/root/reference/tests/images/gallery2/1_webp_ll.webp")
     ll_stages = {}
-    if ll_path.exists():
-        wd = WebPDecoder(ll_path.read_bytes())
-        ll_payload = wd._chunk_bytes(ck.VP8L)
-        lw, lh = wd.dimensions()
-        LB = 8
-        decode_lossless_batch_device([ll_payload] * LB, lw, lh)  # warm
-        t0 = time.time()
-        decode_lossless_batch_device([ll_payload] * LB, lw, lh, device_out=True)
-        t_ll_dev = (time.time() - t0) / LB
-        t0 = time.time()
-        decode_lossless(ll_payload, lw, lh, allow_native=False)
-        t_ll_np = time.time() - t0
-        ll_stages = {
-            "lossless_device_ms": round(t_ll_dev * 1e3, 2),
-            "lossless_host_numpy_ms": round(t_ll_np * 1e3, 2),
-            "lossless_device_speedup_vs_numpy": round(t_ll_np / t_ll_dev, 1),
-        }
+    # Guard the headline metric: the lossless stage compiles 3 extra kernels
+    # on the remote compiler; skip it when this run's compiles are already
+    # pathologically slow (NOTES.md: 50-420 s warmup variance).
+    if warm_encode > 240 or warm_decode > 120:
+        ll_stages = {"lossless_stage": "skipped (slow-compiler run)"}
+    elif ll_path.exists():
+        try:
+            wd = WebPDecoder(ll_path.read_bytes())
+            ll_payload = wd._chunk_bytes(ck.VP8L)
+            lw, lh = wd.dimensions()
+            LB = 8
+            decode_lossless_batch_device([ll_payload] * LB, lw, lh)  # warm
+            t0 = time.time()
+            decode_lossless_batch_device([ll_payload] * LB, lw, lh, device_out=True)
+            t_ll_dev = (time.time() - t0) / LB
+            t0 = time.time()
+            decode_lossless(ll_payload, lw, lh, allow_native=False)
+            t_ll_np = time.time() - t0
+            ll_stages = {
+                "lossless_device_ms": round(t_ll_dev * 1e3, 2),
+                "lossless_host_numpy_ms": round(t_ll_np * 1e3, 2),
+                "lossless_device_speedup_vs_numpy": round(t_ll_np / t_ll_dev, 1),
+            }
+        except Exception as e:  # pragma: no cover - keep the headline metric
+            ll_stages = {"lossless_stage": f"failed: {e}"}
 
     per_image = t_encode + t_decode
     images_per_s = 1.0 / per_image
