@@ -125,3 +125,42 @@ def test_sharded_encode_analysis_equals_unsharded(goldens, devices_ok):
     got = step(Y, U, V, P, TB)
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
+
+def test_sharded_token_encode_all_gather():
+    """Device token coding under shard_map: every device encodes its image
+    shard's partitions and the bitstreams all_gather over `data` — equal to
+    the unsharded per-image encoding."""
+    import jax.numpy as jnp
+
+    from webp_tpu.ops.token_ops import encode_coeff_partitions
+    from webp_tpu.parallel.mesh import make_mesh
+    from webp_tpu.parallel.pipeline import make_encode_tokens_sharded
+
+    rng = np.random.RandomState(4)
+    mbw, mbh, B, nparts = 4, 4, 8, 2
+    nmb = mbw * mbh
+    y2 = (rng.randint(-60, 61, (B, nmb, 16)) * (rng.rand(B, nmb, 16) < 0.3)).astype(np.int32)
+    yl = (rng.randint(-25, 26, (B, nmb, 16, 16)) * (rng.rand(B, nmb, 16, 16) < 0.2)).astype(np.int32)
+    uv = (rng.randint(-15, 16, (B, nmb, 8, 16)) * (rng.rand(B, nmb, 8, 16) < 0.15)).astype(np.int32)
+    lm = rng.choice([0, 1, 2, 3, 4], (B, nmb)).astype(np.int32)
+    y2[np.broadcast_to((lm == 4)[..., None], y2.shape)] = 0
+    probs = rng.randint(1, 256, (B, 4 * 8 * 3 * 11)).astype(np.int32)
+
+    mesh = make_mesh(n_data=8, n_band=1)
+    max_ops, max_bytes = nmb * 420, 4096
+    step = make_encode_tokens_sharded(mesh, mbw, mbh, nparts, max_ops, max_bytes)
+    lead_s, tok_s, tokn_s = (np.asarray(a) for a in step(
+        jnp.asarray(y2), jnp.asarray(yl), jnp.asarray(uv),
+        jnp.asarray(lm), jnp.asarray(probs),
+    ))
+
+    for b in range(B):
+        lead, tok, tok_n, _, _ = encode_coeff_partitions(
+            jnp.asarray(y2[b]), jnp.asarray(yl[b]), jnp.asarray(uv[b]),
+            jnp.asarray(lm[b]), jnp.asarray(probs[b]),
+            mbw, mbh, nparts, max_ops, max_bytes,
+        )
+        assert np.array_equal(lead_s[b], np.asarray(lead)), b
+        assert np.array_equal(tokn_s[b], np.asarray(tok_n)), b
+        assert np.array_equal(tok_s[b], np.asarray(tok)), b

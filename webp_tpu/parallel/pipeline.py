@@ -193,3 +193,43 @@ def make_encode_analysis_sharded(mesh, mbw: int, mbh: int, n_try: int,
         return jax.jit(run)(ybufs, ubufs, vbufs)
 
     return step
+
+
+def make_encode_tokens_sharded(mesh, mbw: int, mbh: int, nparts: int,
+                               max_ops: int, max_bytes: int):
+    """Data-parallel device token coding + bitstream all_gather.
+
+    Each device runs the full levels->partition-bitstream pipeline
+    (ops/token_ops.encode_coeff_partitions) on its image shard, then the
+    finished byte tensors all_gather over the `data` axis so any host in a
+    multi-host mesh can mux the RIFF container for the whole batch — the
+    per-partition bitstream collective of SURVEY §2.4.5.
+    """
+    from ..ops.token_ops import encode_coeff_partitions
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"),) * 5,
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def step(y2_levels, y_levels, uv_levels, luma_mode, probs_flat):
+        def one(y2, yl, uv, lm, pf):
+            lead, tok, tok_n, _state, _n_ops = (
+                encode_coeff_partitions.__wrapped__(
+                    y2, yl, uv, lm, pf, mbw, mbh, nparts, max_ops, max_bytes
+                )
+            )
+            return lead, tok, tok_n
+
+        lead, tok, tok_n = jax.vmap(one)(
+            y2_levels, y_levels, uv_levels, luma_mode, probs_flat
+        )
+        return (
+            jax.lax.all_gather(lead, "data", tiled=True),
+            jax.lax.all_gather(tok, "data", tiled=True),
+            jax.lax.all_gather(tok_n, "data", tiled=True),
+        )
+
+    return step
