@@ -219,3 +219,78 @@ def test_batch_device_tokens_byte_equal():
         y, u, v = planes[i]
         want.append(enc.encode_yuv(y, u, v, w, h))
     assert got == want
+
+
+def test_mb_headers_match_host():
+    """Device MB-header encoding continues a host-written frame header's
+    boolean state and reproduces the host writer's partition 0 exactly."""
+    import webp_tpu.ops.predict as pr
+    from webp_tpu.common import vp8_tables as T
+    from webp_tpu.encode.boolenc import BoolEncoder, tree_paths
+    from webp_tpu.encode.vp8 import _BPRED_PATHS, _SEG_PATHS, _UV_PATHS, _YMODE_PATHS
+    from webp_tpu.ops.boolenc2 import assemble_lane
+    from webp_tpu.ops.token_ops import encode_mb_headers
+
+    rng = np.random.RandomState(13)
+    for trial, write_segments in ((0, True), (1, False)):
+        mbw, mbh = 5, 4
+        nmb = mbw * mbh
+        lm = rng.choice([0, 1, 2, 3, 4, 4], nmb).astype(np.int32)
+        bpred = rng.randint(0, 10, (nmb, 16)).astype(np.int32)
+        cm = rng.randint(0, 4, nmb).astype(np.int32)
+        sid = rng.randint(0, 4, nmb).astype(np.int32)
+        skipped = (rng.rand(nmb) < 0.3).astype(np.int32)
+        seg_probs = [30, 128, 200]
+        skip_prob = 77
+
+        # Host: fake frame header bits, then the MB loop (python fallback).
+        enc = BoolEncoder()
+        for _ in range(37):
+            enc.write_bool(rng.randint(2), rng.randint(1, 256))
+        import copy
+
+        dev_init = (
+            np.uint32(enc.bottom), np.int32(enc.range), np.int32(enc.bit_num)
+        )
+        prefix = bytes(enc.out)
+
+        top_bpred = np.full((mbw, 4), pr.B_DC, np.int32)
+        for mby in range(mbh):
+            left_bpred = np.full(4, pr.B_DC, np.int32)
+            for mbx in range(mbw):
+                i = mby * mbw + mbx
+                if write_segments:
+                    enc.write_with_path(_SEG_PATHS[int(sid[i])], seg_probs)
+                enc.write_bool(int(skipped[i]), skip_prob)
+                enc.write_with_path(_YMODE_PATHS[int(lm[i])], T.KEYFRAME_YMODE_PROBS)
+                if lm[i] == 4:
+                    for sy in range(4):
+                        for sx in range(4):
+                            m = int(bpred[i, sy * 4 + sx])
+                            probs_ctx = T.KEYFRAME_BPRED_MODE_PROBS[
+                                int(top_bpred[mbx, sx]), int(left_bpred[sy])
+                            ]
+                            enc.write_with_path(_BPRED_PATHS[m], probs_ctx)
+                            top_bpred[mbx, sx] = m
+                            left_bpred[sy] = m
+                else:
+                    bmode = (pr.B_DC, pr.B_VE, pr.B_HE, pr.B_TM)[int(lm[i])]
+                    top_bpred[mbx] = bmode
+                    left_bpred[:] = bmode
+                enc.write_with_path(_UV_PATHS[int(cm[i])], T.KEYFRAME_UV_MODE_PROBS)
+        want = enc.flush()
+
+        lead, data, nb, state, n_ops = encode_mb_headers(
+            jnp.asarray(lm), jnp.asarray(bpred), jnp.asarray(cm),
+            jnp.asarray(sid), jnp.asarray(skipped),
+            jnp.asarray(np.asarray(seg_probs, np.int32)),
+            jnp.asarray(np.int32(skip_prob)),
+            tuple(jnp.asarray(s) for s in dev_init),
+            mbw, mbh, write_segments, max_ops=nmb * 120, max_bytes=4096,
+        )
+        got = assemble_lane(
+            int(np.asarray(lead)), np.asarray(data), int(np.asarray(nb)),
+            int(np.asarray(state[0])), int(np.asarray(state[2])),
+            prefix=prefix,
+        )
+        assert got == want, f"trial {trial}"

@@ -32,16 +32,18 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("max_bytes",))
-def bool_encode_lanes(bits, probs, valid, max_bytes: int):
+def bool_encode_lanes(bits, probs, valid, max_bytes: int, init_state=None):
     """Encode per-lane boolean op streams.
 
     bits/probs/valid: [T, L] integer arrays (valid==0 steps are no-ops,
     used to ragged-pad lanes). Returns (lead [L] int32 — nonzero means a
-    carry overflowed past the first byte and `lead` must be prepended,
-    bytes_out [L, max_bytes] uint8 carry-resolved, n_bytes [L], and the
-    final (bottom, range, bit_num) registers for the flush epilogue).
-    A lane whose output exceeds max_bytes reports n_bytes > max_bytes
-    (caller must fall back)."""
+    carry overflowed past the stream start (prepend it, or carry-walk it
+    into a host-written prefix when continuing an in-progress encoder via
+    `init_state` = per-lane (bottom uint32, range, bit_num)), bytes_out
+    [L, max_bytes] uint8 carry-resolved, n_bytes [L], and the final
+    (bottom, range, bit_num) registers for the flush epilogue). A lane
+    whose output exceeds max_bytes reports n_bytes > max_bytes (caller
+    must fall back)."""
     T, L = bits.shape
 
     def step(carry, x):
@@ -84,11 +86,19 @@ def bool_encode_lanes(bits, probs, valid, max_bytes: int):
             jnp.where(okb, carries, 0),
         )
 
-    init = (
-        jnp.zeros((L,), jnp.uint32),
-        jnp.full((L,), 255, jnp.int32),
-        jnp.full((L,), 24, jnp.int32),
-    )
+    if init_state is None:
+        init = (
+            jnp.zeros((L,), jnp.uint32),
+            jnp.full((L,), 255, jnp.int32),
+            jnp.full((L,), 24, jnp.int32),
+        )
+    else:
+        b0, r0, n0 = init_state
+        init = (
+            b0.astype(jnp.uint32),
+            r0.astype(jnp.int32),
+            n0.astype(jnp.int32),
+        )
     (bottom, rng, bit_num), (ebytes, eflags, ecarr) = jax.lax.scan(
         step,
         init,
@@ -172,9 +182,25 @@ def flush_lane(bottom: int, bit_num: int, prefix: bytes) -> bytes:
     return bytes(out)
 
 
+def _carry_walk(out: bytearray):
+    """Apply one +1 carry to the tail of `out` (0xFF chain; prepend 0x01)."""
+    i = len(out) - 1
+    while i >= 0:
+        if out[i] < 255:
+            out[i] += 1
+            return
+        out[i] = 0
+        i -= 1
+    out[0:0] = b"\x01"
+
+
 def assemble_lane(lead: int, data: np.ndarray, n: int, bottom: int,
-                  bit_num: int) -> bytes:
-    """Final per-lane byte stream: optional lead byte + resolved digits +
-    flush epilogue."""
-    prefix = (bytes([lead]) if lead else b"") + bytes(data[:n])
-    return flush_lane(bottom, bit_num, prefix)
+                  bit_num: int, prefix: bytes = b"") -> bytes:
+    """Final per-lane byte stream: host-written prefix (when continuing an
+    in-progress encoder) with `lead` carries applied, resolved digits, and
+    the flush epilogue."""
+    out = bytearray(prefix)
+    for _ in range(int(lead)):
+        _carry_walk(out)
+    out += bytes(data[:n])
+    return flush_lane(bottom, bit_num, bytes(out))

@@ -309,3 +309,154 @@ def encode_coeff_partitions(y2_levels, y_levels, uv_levels, luma_mode,
         max_bytes,
     )
     return lead, data, n_bytes, state, n_ops
+
+
+# ---------------------------------------------------------------------------
+# MB-header ops (partition 0 tail): segment id, skip, modes
+# ---------------------------------------------------------------------------
+
+
+def _mode_tree_tables(tree, nsym: int):
+    from ..encode.boolenc import tree_paths
+
+    paths = tree_paths(tree)[0]
+    max_len = max(len(p) for p in paths.values())
+    ln = np.zeros(nsym, np.int32)
+    bit = np.zeros((nsym, max_len), np.int32)
+    node = np.zeros((nsym, max_len), np.int32)
+    for sym, path in paths.items():
+        ln[sym] = len(path)
+        for k, (b, nd) in enumerate(path):
+            bit[sym, k] = b
+            node[sym, k] = nd
+    return ln, bit, node, max_len
+
+
+_SEG_LN, _SEG_BIT, _SEG_NODE, _SEG_MAX = _mode_tree_tables(T.SEGMENT_ID_TREE, 4)
+_YM_LN, _YM_BIT, _YM_NODE, _YM_MAX = _mode_tree_tables(T.KEYFRAME_YMODE_TREE, 5)
+_UV_LN, _UV_BIT, _UV_NODE, _UV_MAX = _mode_tree_tables(T.KEYFRAME_UV_MODE_TREE, 4)
+_BP_LN, _BP_BIT, _BP_NODE, _BP_MAX = _mode_tree_tables(T.KEYFRAME_BPRED_MODE_TREE, 10)
+_BP_PROBS = np.asarray(T.KEYFRAME_BPRED_MODE_PROBS, np.int32)  # [10, 10, 9]
+_YM_PROBS = np.asarray(T.KEYFRAME_YMODE_PROBS, np.int32)
+_UV_PROBS = np.asarray(T.KEYFRAME_UV_MODE_PROBS, np.int32)
+# whole-MB luma modes imply a uniform bpred context (DC, V, H, TM)
+_IMPLIED_BMODE = np.asarray([0, 2, 3, 1, 0], np.int32)  # B_DC,B_VE,B_HE,B_TM; [4]=B unused
+
+HEADER_SLOTS = _SEG_MAX + 1 + _YM_MAX + 16 * _BP_MAX + _UV_MAX
+
+
+def header_ops(luma_mode, bpred, chroma_mode, segment_ids, skipped,
+               seg_probs3, skip_prob, write_segments: bool,
+               mbw: int, mbh: int):
+    """Op slots for every MB header, raster order (the partition-0 stream
+    after the frame header): optional segment id, skip flag, luma mode,
+    B sub-modes with their top/left mode contexts, chroma mode. Mirrors
+    the host writer (encode/vp8.py _write_bitstream_arrays MB loop;
+    reference vp8.rs:498-560)."""
+    nmb = mbw * mbh
+    lm = luma_mode.astype(jnp.int32)
+
+    # Sub-block mode grid with implied modes for whole-MB predictions.
+    implied = jnp.asarray(_IMPLIED_BMODE)[jnp.minimum(lm, 3)]
+    eff = jnp.where((lm == 4)[:, None], bpred.astype(jnp.int32), implied[:, None])
+    grid = (
+        eff.reshape(mbh, mbw, 4, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(mbh * 4, mbw * 4)
+    )
+    top = jnp.concatenate([jnp.zeros((1, mbw * 4), jnp.int32), grid[:-1]], 0)
+    left = jnp.concatenate([jnp.zeros((mbh * 4, 1), jnp.int32), grid[:, :-1]], 1)
+
+    def unmb(g):
+        return (
+            g.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3).reshape(nmb, 16)
+        )
+
+    top_m = unmb(top)
+    left_m = unmb(left)
+
+    # segment id (2 tree ops)
+    sid = segment_ids.astype(jnp.int32)
+    ks = jnp.arange(_SEG_MAX, dtype=jnp.int32)
+    seg_bit = jnp.asarray(_SEG_BIT)[sid[:, None], ks]
+    seg_node = jnp.asarray(_SEG_NODE)[sid[:, None], ks]
+    seg_prob = seg_probs3[seg_node]
+    seg_valid = jnp.broadcast_to(
+        bool(write_segments) & (ks < jnp.asarray(_SEG_LN)[sid][:, None]),
+        (nmb, _SEG_MAX),
+    )
+
+    # skip flag
+    sk_bit = skipped.astype(jnp.int32)[:, None]
+    sk_prob = jnp.broadcast_to(skip_prob.astype(jnp.int32), (nmb,))[:, None]
+    sk_valid = jnp.ones((nmb, 1), bool)
+
+    # luma mode
+    ky = jnp.arange(_YM_MAX, dtype=jnp.int32)
+    ym_bit = jnp.asarray(_YM_BIT)[lm[:, None], ky]
+    ym_prob = jnp.asarray(_YM_PROBS)[jnp.asarray(_YM_NODE)[lm[:, None], ky]]
+    ym_valid = ky < jnp.asarray(_YM_LN)[lm][:, None]
+
+    # 16 B sub-modes (only when lm == 4)
+    kb = jnp.arange(_BP_MAX, dtype=jnp.int32)
+    bp = bpred.astype(jnp.int32)
+    bp_bit = jnp.asarray(_BP_BIT)[bp[..., None], kb]            # [nmb,16,K]
+    bp_node = jnp.asarray(_BP_NODE)[bp[..., None], kb]
+    bp_prob = jnp.asarray(_BP_PROBS)[top_m[..., None], left_m[..., None], bp_node]
+    bp_valid = (lm == 4)[:, None, None] & (
+        kb < jnp.asarray(_BP_LN)[bp][..., None]
+    )
+
+    # chroma mode
+    ku = jnp.arange(_UV_MAX, dtype=jnp.int32)
+    cm = chroma_mode.astype(jnp.int32)
+    uv_bit = jnp.asarray(_UV_BIT)[cm[:, None], ku]
+    uv_prob = jnp.asarray(_UV_PROBS)[jnp.asarray(_UV_NODE)[cm[:, None], ku]]
+    uv_valid = ku < jnp.asarray(_UV_LN)[cm][:, None]
+
+    prob = jnp.concatenate(
+        [seg_prob, sk_prob, ym_prob, bp_prob.reshape(nmb, -1), uv_prob], axis=-1
+    )
+    bit = jnp.concatenate(
+        [seg_bit, sk_bit, ym_bit, bp_bit.reshape(nmb, -1), uv_bit], axis=-1
+    )
+    valid = jnp.concatenate(
+        [seg_valid, sk_valid, ym_valid, bp_valid.reshape(nmb, -1), uv_valid],
+        axis=-1,
+    )
+    return prob, bit, valid
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "write_segments",
+                                              "max_ops", "max_bytes"))
+def encode_mb_headers(luma_mode, bpred, chroma_mode, segment_ids, skipped,
+                      seg_probs3, skip_prob, init_state, mbw: int, mbh: int,
+                      write_segments: bool, max_ops: int, max_bytes: int):
+    """Device continuation of the partition-0 boolean stream: MB headers
+    encoded from the frame-header encoder's (bottom, range, bit_num) state.
+    Returns (lead, bytes, n_bytes, final state, n_ops) for one image; the
+    host applies `lead` carries to its frame-header prefix and flushes."""
+    from .boolenc2 import bool_encode_lanes
+
+    prob, bit, valid = header_ops(
+        luma_mode, bpred, chroma_mode, segment_ids, skipped,
+        seg_probs3, skip_prob, write_segments, mbw, mbh,
+    )
+    flat_p = prob.reshape(-1)
+    flat_b = bit.reshape(-1)
+    flat_v = valid.reshape(-1)
+    n_flat = flat_p.shape[0]
+    cs = jnp.cumsum(flat_v.astype(jnp.int32))
+    n_ops = cs[-1]
+    ksq = jnp.arange(1, max_ops + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(cs, ksq, side="left")
+    ok = idx < n_flat
+    gi = jnp.clip(idx, 0, n_flat - 1)
+    pc = jnp.where(ok, flat_p[gi], 128)
+    bc = jnp.where(ok, flat_b[gi], 0)
+
+    lead, data, n_bytes, state = bool_encode_lanes(
+        bc[:, None], pc[:, None], ok.astype(jnp.int32)[:, None], max_bytes,
+        init_state=tuple(s[None] for s in init_state),
+    )
+    return lead[0], data[0], n_bytes[0], tuple(s[0] for s in state), n_ops
