@@ -754,6 +754,43 @@ class Vp8Encoder:
 
     # ----------------------------------------------------------- bitstream
 
+    def _encode_mb_headers_device(self, hw, arrays):
+        """Continue the frame-header boolean stream with device-coded MB
+        headers (ops/token_ops.encode_mb_headers); None on budget overflow
+        (caller falls back to the host writers)."""
+        import jax.numpy as jnp
+
+        from ..ops.boolenc2 import assemble_lane
+        from ..ops.token_ops import encode_mb_headers
+
+        nmb = self.mbw * self.mbh
+        max_ops = max(2048, nmb * 48)
+        max_bytes = max(1024, nmb * 8)
+        init = (
+            jnp.asarray(np.uint32(hw.bottom)),
+            jnp.asarray(np.int32(hw.range)),
+            jnp.asarray(np.int32(hw.bit_num)),
+        )
+        lead, data, nb, state, n_ops = encode_mb_headers(
+            jnp.asarray(arrays["luma_mode"].astype(np.int32)),
+            jnp.asarray(arrays["bpred"].astype(np.int32)),
+            jnp.asarray(arrays["chroma_mode"].astype(np.int32)),
+            jnp.asarray(self.segment_map.astype(np.int32)),
+            jnp.asarray(arrays["skipped"].astype(np.int32)),
+            jnp.asarray(np.asarray(self.seg_tree_probs, np.int32)),
+            jnp.asarray(np.int32(self.skip_prob)),
+            init, self.mbw, self.mbh,
+            bool(self.segments_enabled and self.segments_update_map),
+            max_ops, max_bytes,
+        )
+        if int(np.asarray(n_ops)) > max_ops or int(np.asarray(nb)) > max_bytes:
+            return None  # pragma: no cover - budget overflow
+        return assemble_lane(
+            int(np.asarray(lead)), np.asarray(data), int(np.asarray(nb)),
+            int(np.asarray(state[0])), int(np.asarray(state[2])),
+            prefix=bytes(hw.out),
+        )
+
     def _write_block(self, enc, levels, plane, first, ctx, probs):
         """Token-encode one zigzag-order level block (vp8.rs:798-958)."""
         nz_idx = np.flatnonzero(levels)
@@ -850,17 +887,20 @@ class Vp8Encoder:
         hw.write_literal(1, 1)  # mb_no_skip_coeff enabled
         hw.write_literal(8, self.skip_prob)
 
-        # MB headers (into the header partition): native fast path.
+        # MB headers (into the header partition): device continuation when
+        # the batch pipeline runs device token coding, else native fast path.
         mbw = self.mbw
         luma_mode = arrays["luma_mode"]
         chroma_mode = arrays["chroma_mode"]
         bpred_arr = arrays["bpred"]
         skipped = arrays["skipped"]
         header_bytes = None
+        if getattr(self, "device_mb_headers", False):
+            header_bytes = self._encode_mb_headers_device(hw, arrays)
         try:
             from ..io import native
 
-            if native.available():
+            if header_bytes is None and native.available():
                 header_bytes = native.vp8_mbheader_encode(
                     hw, luma_mode, bpred_arr, chroma_mode, self.segment_map,
                     skipped, mbw, self.skip_prob,
@@ -1385,6 +1425,7 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
             enc._setup_segments = lambda qi: Vp8Encoder._setup_segments_off(enc)
         if parts_list is not None and parts_list[i] is not None:
             enc.partitions_override, enc.skip_override = parts_list[i]
+            enc.device_mb_headers = True
         y, u, v = planes[i]
         enc._analysis_arrays = lambda a=arrays_list[i]: dict(a)
         return enc.encode_yuv(y, u, v, w, h)
