@@ -735,6 +735,15 @@ int vp8l_lz77(const uint32_t* px, int n, int32_t* out_len, int32_t* out_dist,
         return l;
     };
 
+    // Short matches at far distances cost more to code (distance prefix +
+    // up to 19 extra bits) than the literals they replace; scale the
+    // minimum useful length with distance.
+    auto min_len_for = [](int dist) {
+        if (dist <= 128) return 3;
+        if (dist <= 16384) return 4;
+        return 5;
+    };
+
     auto find_match = [&](int i, int* best_dist) -> int {
         if (i + 1 >= n) return 0;
         int best = 0;
@@ -744,7 +753,7 @@ int vp8l_lz77(const uint32_t* px, int n, int32_t* out_len, int32_t* out_dist,
         int chain = 0;
         while (cand >= 0 && cand > lim && chain < MAX_CHAIN) {
             int l = match_len(cand, i, max_len);
-            if (l > best) {
+            if (l > best && l >= min_len_for(i - cand)) {
                 best = l;
                 *best_dist = i - cand;
                 if (l >= max_len) break;
