@@ -202,7 +202,10 @@ def main():
             LB = 8
             decode_lossless_batch_device([ll_payload] * LB, lw, lh)  # warm
             t0 = time.time()
-            decode_lossless_batch_device([ll_payload] * LB, lw, lh, device_out=True)
+            out = decode_lossless_batch_device(
+                [ll_payload] * LB, lw, lh, device_out=True
+            )
+            out.block_until_ready()
             t_ll_dev = (time.time() - t0) / LB
             t0 = time.time()
             decode_lossless(ll_payload, lw, lh, allow_native=False)
