@@ -7,6 +7,8 @@
 //
 // Build: part of libwebp_tpu_native.so (see io/native.py).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -710,7 +712,7 @@ int vp8l_decode(const uint8_t* data, int len, int32_t width, int32_t height,
 //   len >= 2, dist >= 1  -> backref copy
 // Returns the token count, or -1 if `cap` is too small.
 int vp8l_lz77(const uint32_t* px, int n, int32_t* out_len, int32_t* out_dist,
-              int cap) {
+              int cap, int optimal) {
     // Distance cap: plane code dist+120 must fit the 40-symbol prefix
     // alphabet (max encodable value is 2^20).
     const int WINDOW = (1 << 20) - 120;
@@ -776,6 +778,148 @@ int vp8l_lz77(const uint32_t* px, int n, int32_t* out_len, int32_t* out_dist,
             head[hh] = i;
         }
     };
+
+    if (optimal && n >= 64) {
+        // Two-pass cost-based parse: a greedy pass builds symbol histograms,
+        // whose -log2 frequencies then drive a forward shortest-path DP over
+        // (literal | a few match-length candidates) edges.
+        std::vector<int32_t> glen(n), gdist(n);
+        int gn = 0;
+        {
+            int i = 0;
+            while (i < n) {
+                int dist = 0;
+                int len = find_match(i, &dist);
+                if (len >= MIN_LEN) {
+                    glen[gn] = len; gdist[gn] = dist; gn++;
+                    for (int k = i; k < i + len && k < n; k++) insert(k);
+                    i += len;
+                } else {
+                    glen[gn] = 1; gdist[gn] = 0; gn++;
+                    insert(i);
+                    i += 1;
+                }
+            }
+        }
+        // Histograms from the greedy pass (literal channel bytes; length and
+        // distance prefix symbols).
+        auto prefix_sym = [](int v) {
+            if (v <= 4) return v - 1;
+            int x = v - 1, hi = 0;
+            while ((2 << hi) <= x) hi++;
+            hi--;
+            return 2 * hi + ((x >> (hi ? hi - 1 : 0)) & 1) + (hi ? 2 : 0);
+        };
+        // simpler exact prefix symbol + extra-bit count
+        auto sym_eb = [](int v, int* eb) {
+            if (v <= 4) { *eb = 0; return v - 1; }
+            int x = v - 1;
+            int hi = 31 - __builtin_clz(x);
+            int second = (x >> (hi - 1)) & 1;
+            *eb = hi - 1;
+            return 2 * hi + second;
+        };
+        (void)prefix_sym;
+        double hg[256] = {0}, hr[256] = {0}, hb[256] = {0}, ha[256] = {0};
+        double hl[24] = {0}, hd[40] = {0};
+        {
+            int pos = 0;
+            for (int t = 0; t < gn; t++) {
+                if (glen[t] == 1) {
+                    uint32_t p = px[pos];
+                    hr[(p >> 16) & 0xFF]++; hg[(p >> 8) & 0xFF]++;
+                    hb[p & 0xFF]++; ha[(p >> 24) & 0xFF]++;
+                } else {
+                    int eb;
+                    hl[sym_eb(glen[t], &eb)]++;
+                    int pc = gdist[t] > 120 ? gdist[t] + 120 : gdist[t];  // approx
+                    hd[sym_eb(pc > (1 << 20) ? (1 << 20) : pc, &eb) % 40]++;
+                }
+                pos += glen[t];
+            }
+        }
+        auto costs_of = [](double* h, int m, std::vector<double>& out) {
+            double tot = 0;
+            for (int i = 0; i < m; i++) tot += h[i];
+            out.resize(m);
+            for (int i = 0; i < m; i++) {
+                double p = (h[i] + 0.5) / (tot + 0.5 * m);
+                out[i] = -std::log2(p);
+            }
+        };
+        std::vector<double> cg, cr, cb, ca, cl, cd;
+        costs_of(hg, 256, cg); costs_of(hr, 256, cr); costs_of(hb, 256, cb);
+        costs_of(ha, 256, ca); costs_of(hl, 24, cl); costs_of(hd, 40, cd);
+
+        auto lit_cost = [&](int i) {
+            uint32_t p = px[i];
+            return cr[(p >> 16) & 0xFF] + cg[(p >> 8) & 0xFF] + cb[p & 0xFF] +
+                   ca[(p >> 24) & 0xFF];
+        };
+        auto match_cost = [&](int len, int dist) {
+            int eb1, eb2;
+            int ls = sym_eb(len, &eb1);
+            int pc = dist > 120 ? dist + 120 : dist;
+            if (pc > (1 << 20)) pc = 1 << 20;
+            int ds = sym_eb(pc, &eb2) % 40;
+            return cl[ls] + eb1 + cd[ds] + eb2;
+        };
+
+        // Forward DP. Rebuild the hash state from scratch.
+        std::fill(head.begin(), head.end(), -1);
+        std::fill(prev.begin(), prev.end(), -1);
+        // Distance-1 run lengths, right to left: uniform regions are served
+        // exactly by these edges, so the (quadratic there) hash search can
+        // skip them without losing parse quality.
+        std::vector<int32_t> run1(n + 1, 0);
+        for (int i = n - 1; i >= 1; i--) {
+            if (px[i] == px[i - 1]) {
+                run1[i] = run1[i + 1] + 1;
+                if (run1[i] > MAX_LEN) run1[i] = MAX_LEN;
+            }
+        }
+
+        const double INF = 1e30;
+        std::vector<double> best(n + 1, INF);
+        std::vector<int32_t> via_len(n + 1, 0), via_dist(n + 1, 0);
+        best[0] = 0.0;
+        for (int i = 0; i < n; i++) {
+            if (best[i] >= INF) { insert(i); continue; }
+            double bl = best[i] + lit_cost(i);
+            if (bl < best[i + 1]) { best[i + 1] = bl; via_len[i + 1] = 1; via_dist[i + 1] = 0; }
+
+            auto relax = [&](int len, int dist) {
+                for (int l = len; l >= MIN_LEN && l >= len - 3; l--) {
+                    double c = best[i] + match_cost(l, dist);
+                    if (c < best[i + l]) {
+                        best[i + l] = c; via_len[i + l] = l; via_dist[i + l] = dist;
+                    }
+                }
+            };
+            int r1 = run1[i] > n - i ? n - i : run1[i];
+            if (r1 >= MIN_LEN) relax(r1, 1);
+            if (r1 < 64) {
+                int dist = 0;
+                int len = find_match(i, &dist);
+                if (len >= MIN_LEN) relax(len, dist);
+            }
+            insert(i);
+        }
+        // Backtrack into forward order.
+        std::vector<int32_t> rlen, rdist;
+        for (int i = n; i > 0;) {
+            rlen.push_back(via_len[i]);
+            rdist.push_back(via_dist[i]);
+            i -= via_len[i];
+        }
+        int nt = (int)rlen.size();
+        if (nt > cap) return -1;
+        for (int t = 0; t < nt; t++) {
+            out_len[t] = rlen[nt - 1 - t];
+            out_dist[t] = rdist[nt - 1 - t];
+        }
+        return nt;
+    }
 
     int nt = 0;
     int i = 0;

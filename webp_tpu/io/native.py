@@ -95,7 +95,8 @@ def _load_locked():
     ]
     lib.vp8l_lz77.restype = ctypes.c_int
     lib.vp8l_lz77.argtypes = [
-        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, i32p, i32p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, i32p, i32p,
+        ctypes.c_int, ctypes.c_int,
     ]
     _lib = lib
     return lib
@@ -265,7 +266,7 @@ def vp8l_decode_entropy(data: bytes, width: int, height: int,
     return out[: height * tw * 4].reshape(height, tw, 4), transforms
 
 
-def vp8l_lz77(packed: np.ndarray):
+def vp8l_lz77(packed: np.ndarray, optimal: bool = True):
     """Greedy windowed LZ77 over packed ARGB pixels -> (lens, dists) int32.
 
     lens[i] == 1 is a literal; lens[i] >= 2 copies lens[i] pixels from
@@ -279,6 +280,7 @@ def vp8l_lz77(packed: np.ndarray):
     nt = lib.vp8l_lz77(
         px.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
         _p(out_len, ctypes.c_int32), _p(out_dist, ctypes.c_int32), n,
+        1 if optimal else 0,
     )
     if nt < 0:
         raise ValueError("vp8l_lz77 overflow")
