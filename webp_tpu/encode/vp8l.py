@@ -620,23 +620,34 @@ def _write_image_stream(bs: BitStream, px: np.ndarray, width: int,
     # says it pays for itself (extra g-tree symbols vs dropped R/B/A codes).
     use_cache = False
     if cache_bits:
-        hits_all, hashes_all = _cache_hits(packed, cache_bits)
-        lit_hit = hits_all[literals_idx]
-        lit_hash = hashes_all[literals_idx]
         fg_nc = np.bincount(g[literals_idx], minlength=256).astype(np.int64)
         fr_nc = np.bincount(r[literals_idx], minlength=256).astype(np.int64)
         fb_nc = np.bincount(b[literals_idx], minlength=256).astype(np.int64)
         fa_nc = np.bincount(a[literals_idx], minlength=256).astype(np.int64)
         no_cache_bits = sum(map(_entropy_bits, (fg_nc, fr_nc, fb_nc, fa_nc)))
-        miss = ~lit_hit
-        fg_c = np.zeros(280 + (1 << cache_bits), np.int64)
-        np.add.at(fg_c, g[literals_idx][miss], 1)
-        np.add.at(fg_c, 280 + lit_hash[lit_hit], 1)
-        fr_c = np.bincount(r[literals_idx][miss], minlength=256).astype(np.int64)
-        fb_c = np.bincount(b[literals_idx][miss], minlength=256).astype(np.int64)
-        fa_c = np.bincount(a[literals_idx][miss], minlength=256).astype(np.int64)
-        cache_bits_est = sum(map(_entropy_bits, (fg_c, fr_c, fb_c, fa_c)))
-        use_cache = cache_bits_est + (1 << cache_bits) * 0.5 < no_cache_bits
+        # Sweep the cache size: more bits -> more hits but a wider (sparser)
+        # symbol alphabet; the entropy estimate picks per image.
+        best_bits = None
+        best_est = no_cache_bits
+        for cb in range(4, cache_bits + 1):
+            hits_all, hashes_all = _cache_hits(packed, cb)
+            hit = hits_all[literals_idx]
+            hsh = hashes_all[literals_idx]
+            miss = ~hit
+            fg_c = np.zeros(280 + (1 << cb), np.int64)
+            np.add.at(fg_c, g[literals_idx][miss], 1)
+            np.add.at(fg_c, 280 + hsh[hit], 1)
+            fr_c = np.bincount(r[literals_idx][miss], minlength=256).astype(np.int64)
+            fb_c = np.bincount(b[literals_idx][miss], minlength=256).astype(np.int64)
+            fa_c = np.bincount(a[literals_idx][miss], minlength=256).astype(np.int64)
+            est = sum(map(_entropy_bits, (fg_c, fr_c, fb_c, fa_c))) + (1 << cb) * 0.5
+            if est < best_est:
+                best_est = est
+                best_bits = cb
+                lit_hit, lit_hash = hit, hsh
+        if best_bits is not None:
+            use_cache = True
+            cache_bits = best_bits
 
     # Per-token symbols (group-independent).
     alpha_g = 280 + ((1 << cache_bits) if use_cache else 0)
