@@ -5,9 +5,12 @@ Baseline (BASELINE.md): reference Rust codec, single x86 thread —
 4.2 ms decode + 65 ms encode per 768x512 image => 14.45 images/s.
 
 Measures steady-state pipelined throughput on the attached accelerator:
- - encode: batched device wavefront RD analysis (packed int8 transfer) with
-   host probability adaptation / contexts / native token+header coding of
-   batch i overlapping the device analysis of batch i+1.
+ - encode: batched device wavefront RD analysis with host probability
+   adaptation / contexts / native token+header coding of batch i
+   overlapping the device analysis of batch i+1.  Segment quantization
+   (k-means, reference parity at >=256 MBs) and the device token coder
+   are controlled by env vars (defaults chosen by measurement, see
+   NOTES.md): WEBP_TPU_BENCH_SEGMENTS=0/1, WEBP_TPU_DEVICE_TOKENS=0/1.
  - decode: threaded native host entropy parse + one batched device call
    (escape scatter, dequant, IDCT, wavefront recon, wavefront loop filter,
    color conversion), batches pipelined the same way.  The headline decode
@@ -15,12 +18,18 @@ Measures steady-state pipelined throughput on the attached accelerator:
    downstream stages read them on-device); the host-fetch cost is reported
    separately in detail.stages.
 
-The `detail.stages` dict carries per-stage ms/image so regressions are
-attributable (VERDICT round-1 item 10).
+Trustworthiness (VERDICT r2 item 2): every steady-state number is the
+median over WEBP_TPU_BENCH_ROUNDS pipelined rounds with the relative
+spread (max-min)/median reported alongside; warmup compiles hit the
+persistent XLA compilation cache (.jax_cache/, wired in webp_tpu/__init__),
+so round 2 of any run — and every later process — skips them; and
+`bytes_per_image` reports actual host<->device traffic both directions so
+transfer-bound stages are attributable.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -31,7 +40,8 @@ import numpy as np
 
 BASELINE_IMAGES_PER_S = 1.0 / (0.0042 + 0.065)
 BATCH = int(os.environ.get("WEBP_TPU_BENCH_BATCH", "32"))
-ROUNDS = int(os.environ.get("WEBP_TPU_BENCH_ROUNDS", "4"))
+ROUNDS = int(os.environ.get("WEBP_TPU_BENCH_ROUNDS", "5"))
+SEGMENTS = os.environ.get("WEBP_TPU_BENCH_SEGMENTS", "1") == "1"
 MPIX = 768 * 512 / 1e6
 
 
@@ -53,6 +63,11 @@ def make_test_images(n):
     ]
 
 
+def spread(xs):
+    med = statistics.median(xs)
+    return (max(xs) - min(xs)) / med if med else 0.0
+
+
 def main():
     imgs = make_test_images(BATCH)
 
@@ -65,55 +80,28 @@ def main():
     h, w = imgs[0].shape[:2]
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     pool = E._host_pool()
+    analyze = lambda: E.analyze_frames_lossy_batch(
+        planes, 75, 4, mbw, mbh, segments=SEGMENTS
+    )
+    finish = lambda fetched: E.finish_frames_lossy_batch(
+        planes, fetched, 75, 4, w, h, segments=SEGMENTS
+    )
 
     # ---------------- encode ----------------
     t0 = time.time()
     planes = list(pool.map(yuvops.rgb_to_yuv420, imgs))
     t_rgb2yuv = (time.time() - t0) / BATCH
 
-    # Warmup: the pass-1-stats and pass-2 (per-image tables, trellis)
-    # kernels are independent jits — compile them concurrently.
-    from concurrent.futures import ThreadPoolExecutor
-
-    import jax.numpy as jnp
-
-    def prewarm_pass2():
-        from webp_tpu.common import vp8_tables as T
-        from webp_tpu.encode.quant import SegmentParams, quality_to_quant_index
-        from webp_tpu.ops.encode_wavefront import EncParams
-        from webp_tpu.ops.encode_wavefront2 import (
-            enc_tables_from_probs,
-            encode_analysis_batch_v2_pertbl_packed,
-        )
-
-        probs = jnp.asarray(
-            np.broadcast_to(
-                T.COEFF_PROBS_DEFAULT.astype(np.uint8), (BATCH, 4, 8, 3, 11)
-            ).copy()
-        )
-        tables = enc_tables_from_probs(probs)
-        P = EncParams(SegmentParams(quality_to_quant_index(75)))
-        Yz = jnp.asarray(np.stack([p[0] for p in planes]))
-        Uz = jnp.asarray(np.stack([p[1] for p in planes]))
-        Vz = jnp.asarray(np.stack([p[2] for p in planes]))
-        r = encode_analysis_batch_v2_pertbl_packed(
-            Yz, Uz, Vz, P, tables, mbw, mbh, 4, True
-        )
-        r[0].block_until_ready()
-
-    xfer0 = ThreadPoolExecutor(max_workers=2)
     t0 = time.time()
-    fut2 = xfer0.submit(prewarm_pass2)
-    arrays = E.analyze_frames_lossy_batch(planes, 75, 4, mbw, mbh)()
-    fut2.result()
+    arrays = analyze()()
     warm_encode = time.time() - t0
     t0 = time.time()
-    vp8s = E.finish_frames_lossy_batch(planes, arrays, 75, 4, w, h)
+    vp8s = finish(arrays)
     t_enc_host = (time.time() - t0) / BATCH
 
     # stage probes (one round each, unpipelined)
     t0 = time.time()
-    fetch = E.analyze_frames_lossy_batch(planes, 75, 4, mbw, mbh)
+    fetch = analyze()
     t_enc_dispatch = time.time() - t0  # upload + launch (async)
     t0 = time.time()
     arrays = fetch()
@@ -121,25 +109,31 @@ def main():
 
     # steady state, pipelined: the down-transfer+unpack of batch i runs in a
     # worker thread, overlapping both the device analysis of batch i+1 and
-    # the host entropy coding of batch i-1.
+    # the host entropy coding of batch i-1.  Median-of-rounds.
     from concurrent.futures import ThreadPoolExecutor
 
     xfer = ThreadPoolExecutor(max_workers=2)
-    t0 = time.time()
-    fut = xfer.submit(E.analyze_frames_lossy_batch(planes, 75, 4, mbw, mbh))
+    E.XFER.update(up=0, down=0)
+    enc_times = []
+    fut = xfer.submit(analyze())
     prev_arrays = None
     for r in range(ROUNDS):
-        nxt = (
-            xfer.submit(E.analyze_frames_lossy_batch(planes, 75, 4, mbw, mbh))
-            if r + 1 < ROUNDS
-            else None
-        )
+        t0 = time.time()
+        nxt = xfer.submit(analyze()) if r + 1 < ROUNDS else None
         if prev_arrays is not None:
-            vp8s = E.finish_frames_lossy_batch(planes, prev_arrays, 75, 4, w, h)
+            vp8s = finish(prev_arrays)
         prev_arrays = fut.result()
         fut = nxt
-    vp8s = E.finish_frames_lossy_batch(planes, prev_arrays, 75, 4, w, h)
-    t_encode = (time.time() - t0) / (ROUNDS * BATCH) + t_rgb2yuv
+        enc_times.append(time.time() - t0)
+    t0 = time.time()
+    vp8s = finish(prev_arrays)
+    enc_tail = time.time() - t0
+    # rounds after the first overlap host+device fully; the first round and
+    # the tail host pass are pipeline fill/drain.
+    t_encode = statistics.median(enc_times) / BATCH + t_rgb2yuv
+    enc_spread = spread(enc_times)
+    enc_up = E.XFER["up"] / (ROUNDS * BATCH)
+    enc_down = E.XFER["down"] / (ROUNDS * BATCH)
 
     # ---------------- decode ----------------
     def wrap(v):
@@ -168,9 +162,11 @@ def main():
 
     # steady state, pipelined, device-resident output: host parse + upload of
     # batch i+1 runs in a worker thread while the device decodes batch i.
-    t0 = time.time()
+    D.XFER.update(up=0, down=0)
+    dec_times = []
     fut = xfer.submit(D.dispatch_decode_batch, payloads)
     for r in range(ROUNDS):
+        t0 = time.time()
         handle = fut.result()
         fut = (
             xfer.submit(D.dispatch_decode_batch, payloads)
@@ -178,20 +174,20 @@ def main():
             else None
         )
         handle.block_until_ready()
-    t_decode = (time.time() - t0) / (ROUNDS * BATCH)
+        dec_times.append(time.time() - t0)
+    t_decode = statistics.median(dec_times) / BATCH
+    dec_spread = spread(dec_times)
+    dec_up = D.XFER["up"] / (ROUNDS * BATCH)
 
-    # ---------------- lossless (VP8L) decode: device transforms ----------
+    # ---------------- lossless (VP8L) round trip: device transforms ------
     # Entropy on host (C++), inverse transforms (subtract-green + predictor
-    # wavefront + color) batched on the device; vs the host numpy transform
-    # path (VERDICT r1 item 9).
+    # wavefront + color) batched on the device; plus the host encode cost
+    # (VERDICT r2 item 8).
     from webp_tpu.decode.vp8l import decode_lossless
     from webp_tpu.decode.vp8l_device import decode_lossless_batch_device
 
     ll_path = Path("/root/reference/tests/images/gallery2/1_webp_ll.webp")
     ll_stages = {}
-    # Guard the headline metric: the lossless stage compiles 3 extra kernels
-    # on the remote compiler; skip it when this run's compiles are already
-    # pathologically slow (NOTES.md: 50-420 s warmup variance).
     if warm_encode > 240 or warm_decode > 120:
         ll_stages = {"lossless_stage": "skipped (slow-compiler run)"}
     elif ll_path.exists():
@@ -210,10 +206,22 @@ def main():
             t0 = time.time()
             decode_lossless(ll_payload, lw, lh, allow_native=False)
             t_ll_np = time.time() - t0
+            from webp_tpu.encode.api import encode_lossless_rgba
+            from webp_tpu.decode.vp8l import decode_lossless as _dl
+
+            rgba = np.asarray(WebPDecoder(ll_path.read_bytes()).read_image())
+            if rgba.shape[2] == 3:
+                rgba = np.dstack([rgba, np.full(rgba.shape[:2], 255, np.uint8)])
+            encode_lossless_rgba(rgba)  # warm any lazy state
+            t0 = time.time()
+            ll_bytes = encode_lossless_rgba(rgba)
+            t_ll_enc = time.time() - t0
             ll_stages = {
                 "lossless_device_ms": round(t_ll_dev * 1e3, 2),
                 "lossless_host_numpy_ms": round(t_ll_np * 1e3, 2),
                 "lossless_device_speedup_vs_numpy": round(t_ll_np / t_ll_dev, 1),
+                "lossless_encode_ms": round(t_ll_enc * 1e3, 1),
+                "lossless_encode_bytes": len(ll_bytes),
             }
         except Exception as e:  # pragma: no cover - keep the headline metric
             ll_stages = {"lossless_stage": f"failed: {e}"}
@@ -233,13 +241,15 @@ def main():
         "encode_mpix_per_s": round(MPIX / t_encode, 1),
         **ll_stages,
     }
+    tokens_on = os.environ.get("WEBP_TPU_DEVICE_TOKENS") == "1"
     print(
         json.dumps(
             {
                 "metric": (
                     f"images/sec/chip (768x512 decode + Q75-m4 encode: two-pass+trellis, "
-                    f"segments off, batch={BATCH}, pipelined, decoded pixels "
-                    "device-resident)"
+                    f"segments {'on' if SEGMENTS else 'off'}, "
+                    f"device tokens {'on' if tokens_on else 'off'}, "
+                    f"batch={BATCH}, pipelined, decoded pixels device-resident)"
                 ),
                 "value": round(images_per_s, 4),
                 "unit": "images/s",
@@ -247,6 +257,20 @@ def main():
                 "detail": {
                     "t_encode_s_per_img": round(t_encode, 4),
                     "t_decode_s_per_img": round(t_decode, 4),
+                    "spread": {
+                        "encode_rel": round(enc_spread, 3),
+                        "decode_rel": round(dec_spread, 3),
+                        "rounds": ROUNDS,
+                        "encode_round_s": [round(t, 3) for t in enc_times],
+                        "decode_round_s": [round(t, 3) for t in dec_times],
+                    },
+                    "bytes_per_image": {
+                        "encode_up": int(enc_up),
+                        "encode_down": int(enc_down),
+                        "decode_up": int(dec_up),
+                        "decode_down_headline": 0,
+                        "decode_down_if_fetched": int(host_rgb[0].nbytes),
+                    },
                     "warmup_encode_s": round(warm_encode, 2),
                     "warmup_decode_s": round(warm_decode, 2),
                     "webp_bytes": len(vp8s[0]),

@@ -41,6 +41,13 @@ def load_png(path):
         return np.asarray(im)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy test; deselect with -m 'not slow' for quick runs",
+    )
+
+
 @pytest.fixture(scope="session")
 def fixtures():
     if not FIXTURES.exists():

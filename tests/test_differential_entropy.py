@@ -18,9 +18,9 @@ LOSSY = [
     ("gallery1", "3.webp"),
     ("gallery1", "4.webp"),
     ("gallery1", "5.webp"),
-    ("regression", "tiny.webp"),
+    ("gallery2", "1_webp_a.webp"),
     ("regression", "dark.webp"),
-    ("random", "random_lossy.webp"),
+    ("animated", "random_lossy.webp"),
 ]
 
 FIELDS = [

@@ -63,6 +63,7 @@ def test_device_backend_end_to_end(goldens):
     assert a == b
 
 
+@pytest.mark.slow
 def test_device_backend_m4_trellis_end_to_end(goldens):
     """Method-4 (two-pass + trellis) device bitstream == python bitstream —
     the VERDICT round-1 item-2 'honest m4' requirement."""
@@ -72,6 +73,7 @@ def test_device_backend_m4_trellis_end_to_end(goldens):
     assert a == b
 
 
+@pytest.mark.slow
 def test_batch_two_pass_equals_python_encoder(goldens):
     """The batched two-pass flow (device stats -> per-image tables -> pass-2
     kernel) must produce the same bitstreams as the reference single-image
@@ -92,6 +94,7 @@ def test_batch_two_pass_equals_python_encoder(goldens):
         assert g == w_, f"image {i}: {len(g)} vs {len(w_)} bytes"
 
 
+@pytest.mark.slow
 def test_device_backend_segments_end_to_end(goldens):
     """On images >= 256 MBs the encoder enables k-means segment quantization;
     the device kernel's per-lane segment params must reproduce the python

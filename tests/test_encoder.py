@@ -142,6 +142,7 @@ def test_multi_partition_encode(photo, n):
     np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.slow
 def test_target_size(photo):
     """target_size bisects quality to the largest full file that fits
     (wired beyond the reference, which accepts but ignores it)."""
@@ -192,6 +193,7 @@ def test_alpha_quality(photo):
     assert len(low) < len(exact)
 
 
+@pytest.mark.slow
 def test_mixed_geometry_batch_encode(photo):
     """Mixed-geometry batch encode groups by (h, w) — and, regression: a
     second geometry must not trip over trace-bound module constants."""

@@ -84,6 +84,7 @@ def test_equal_size_dssim_ratio(rd_points):
     assert max(ratios) < 2.1, ratios
 
 
+@pytest.mark.slow
 def test_sharp_yuv_improves_high_q(goldens):
     """Sharp-YUV (least-squares chroma vs the fancy upsampler) must beat the
     plain 2x2-average conversion on decoded-RGB PSNR at high quality for

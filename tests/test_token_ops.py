@@ -185,6 +185,7 @@ def test_coeff_partitions_match_host(nparts):
         assert got == want[p], f"partition {p} of {nparts}"
 
 
+@pytest.mark.slow
 def test_batch_device_tokens_byte_equal():
     """encode_frames_lossy_batch(device_tokens=True) == the host writer at
     8 partitions, byte for byte (same analysis, same adapted probs)."""

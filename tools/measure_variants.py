@@ -40,11 +40,13 @@ def main():
             kw = dict(segments=True)
         elif name == "dev_tokens":
             kw = dict(device_tokens=True)
+        segs = name == "segments"
         t0 = time.time()
         arrays = E.analyze_frames_lossy_batch(planes, 75, 4, mbw, mbh, **kw)()
         warm = time.time() - t0
         t0 = time.time()
-        vp8s = E.finish_frames_lossy_batch(planes, arrays, 75, 4, w, h)
+        vp8s = E.finish_frames_lossy_batch(planes, arrays, 75, 4, w, h,
+                                           segments=segs)
         t_host = (time.time() - t0) / BATCH
 
         t0 = time.time()
@@ -57,10 +59,11 @@ def main():
                 else None
             )
             if prev is not None:
-                E.finish_frames_lossy_batch(planes, prev, 75, 4, w, h)
+                E.finish_frames_lossy_batch(planes, prev, 75, 4, w, h,
+                                            segments=segs)
             prev = fut.result()
             fut = nxt
-        E.finish_frames_lossy_batch(planes, prev, 75, 4, w, h)
+        E.finish_frames_lossy_batch(planes, prev, 75, 4, w, h, segments=segs)
         t_enc = (time.time() - t0) / (ROUNDS * BATCH)
         print(
             json.dumps(

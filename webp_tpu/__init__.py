@@ -10,6 +10,34 @@ Public surface mirrors the reference crate `zenwebp`
 (`/root/reference/src/lib.rs:89-101`).
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: warmup compiles are paid once per
+    machine, not once per process (VERDICT r2 item 2).  jax 0.9 does not
+    honor JAX_COMPILATION_CACHE_DIR from the environment, so configure it
+    explicitly; WEBP_TPU_NO_COMPILE_CACHE=1 opts out."""
+    if _os.environ.get("WEBP_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+    except Exception:  # pragma: no cover - host-only installs
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return  # caller already configured one
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or _os.path.join(here, ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_enable_compile_cache()
+
 from .errors import (
     WebPError,
     DecodingError,

@@ -21,10 +21,10 @@ from ..ops import jax_ops
 from ..ops.jax_loopfilter import loop_filter_frame
 from ..ops.wavefront import reconstruct_frame
 
-# v2 lane-aligned wavefront backends. "pallas" (default on TPU) runs the
-# whole recon+filter wavefront as two Pallas kernels with VMEM-resident
-# state; "scan" uses the lax.scan drivers (used on CPU, where Pallas would
-# need interpret mode).  WEBP_TPU_DECODE_BACKEND overrides: pallas|scan|v1.
+# v2 lane-aligned wavefront backends. "scan" (the production default, see
+# _decode_backend) runs the recon+filter wavefronts as lax.scan drivers;
+# "pallas" runs them as two Pallas kernels with VMEM-resident state.
+# WEBP_TPU_DECODE_BACKEND overrides: pallas|scan|v1.
 from ..ops.loopfilter2 import loop_filter_frames_v2
 from ..ops.wavefront2 import reconstruct_frames_v2
 
@@ -137,6 +137,10 @@ def _device_decode_batch(
     )(coeffs, has_ac, luma_mode, bpred, chroma_mode, level, interior, hev_t, do_sub)
 
 
+# Host->device upload accounting (bytes), reset/read by bench.py.
+XFER = {"up": 0, "down": 0}
+
+
 def decode_vp8_batch_device(payloads, device_out: bool = False):
     """Decode same-geometry VP8 chunks as one batched device call -> RGB [B,...].
 
@@ -172,6 +176,11 @@ def dispatch_decode_batch(payloads):
     backend = _decode_backend()
     h0 = batch["headers"][0]
     geo = (int(h0[2]), int(h0[3]), bool(h0[4]), int(h0[0]), int(h0[1]))
+    XFER["up"] += sum(
+        int(a.nbytes)
+        for a in batch.values()
+        if a is not None and hasattr(a, "nbytes")
+    )
     if batch["bitmap"] is not None:
         return _device_decode_sparse8(
             jnp.asarray(batch["bitmap"]),

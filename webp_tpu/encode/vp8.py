@@ -1144,6 +1144,14 @@ def _host_pool():
     return _HOST_POOL
 
 
+# Device<->host transfer accounting (bytes), reset/read by bench.py.
+XFER = {"up": 0, "down": 0}
+
+
+def _xfer_down(*arrays):
+    XFER["down"] += sum(int(a.nbytes) for a in arrays)
+
+
 def _fetch_packed(packed, planes, fallback):
     """Fetch the device analysis results over the sparse wire format.
 
@@ -1160,6 +1168,7 @@ def _fetch_packed(packed, planes, fallback):
     bitmap, vals, meta8, esc_pos, esc_val = (
         np.asarray(a) for a in (bitmap_dev, vals_dev, meta8, esc_pos, esc_val)
     )
+    _xfer_down(sp_over, overflow, bitmap, vals, meta8, esc_pos, esc_val)
 
     def one(i):
         if sp_over[i]:  # pragma: no cover - >cap nonzeros in one image
@@ -1210,6 +1219,7 @@ def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
     bottom = np.asarray(state_d[0])
     bit_num = np.asarray(state_d[2])
     tok = np.asarray(tok_d)
+    _xfer_down(meta8, lead, tok_n, n_ops, bottom, bit_num, tok)
 
     arrays_list, parts_list = [], []
     zero_y = np.zeros((nmb, 16, 16), np.int32)
@@ -1279,6 +1289,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     Y = jnp.asarray(np.stack([p[0] for p in planes]))
     U = jnp.asarray(np.stack([p[1] for p in planes]))
     V = jnp.asarray(np.stack([p[2] for p in planes]))
+    XFER["up"] += int(Y.nbytes + U.nbytes + V.nbytes)
     TB = EncTables.default()
 
     # Per-image k-means segment quantization (>= 256 MBs, like the

@@ -1206,12 +1206,15 @@ def _build_level_code_masks_np():
 
 
 @jax.jit
+@jax.jit
 def enc_tables_from_probs(probs_u8):
     """Per-image probability sets [B, 4, 8, 3, 11] -> batched EncTables.
 
     The host path built 32 EncTables via hundreds of small device
     transfers; here one 4 KB probability upload derives every table on
     device (the same closed form as the vectorized LevelCosts build).
+    Jitted: built eagerly, the ~40 small ops each pay a remote-dispatch
+    round trip (36 ms/img at batch 32 — the whole pass-1 budget twice over).
     """
     ent = jnp.asarray(ET.VP8_ENTROPY_COST.astype(np.int32))
     a1, a0 = _build_level_code_masks_np()
