@@ -209,7 +209,7 @@ def test_batch_device_tokens_byte_equal():
     fetched = E.analyze_frames_lossy_batch(
         planes, 75, 4, mbw, mbh, device_tokens=False
     )()
-    arrays_list, probs = fetched
+    arrays_list, probs = fetched[0], fetched[1]
     want = []
     for i in range(len(imgs)):
         enc = E.Vp8Encoder(75, 4, backend="device", two_pass=True,

@@ -19,8 +19,11 @@ MAX_COEFF_THRESH = 31
 
 
 def _dct4x4_analysis(resid: np.ndarray) -> np.ndarray:
-    """libwebp FTransform on [..., 4, 4] residual blocks (analysis rounding)."""
-    d = resid.astype(np.int64)
+    """libwebp FTransform on [..., 4, 4] residual blocks (analysis rounding).
+
+    int32 throughout: |resid| <= 255 so the largest intermediate
+    (a * 5352 with |a| <= 2 * 4 * 255 * 8) stays < 2^27."""
+    d = resid.astype(np.int32)
     d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
     a0, a1, a2, a3 = d0 + d3, d1 + d2, d1 - d2, d0 - d3
     t = np.stack(
@@ -50,8 +53,11 @@ def _alphas_from_coeffs(coeffs: np.ndarray) -> np.ndarray:
     """[nmb, n_coeff] DCT coeffs -> per-MB histogram alpha."""
     nmb = coeffs.shape[0]
     v = np.minimum(np.abs(coeffs) >> 3, MAX_COEFF_THRESH)
-    hist = np.zeros((nmb, MAX_COEFF_THRESH + 1), np.int64)
-    np.add.at(hist, (np.repeat(np.arange(nmb), v.shape[1]), v.reshape(-1)), 1)
+    # Per-row histogram via one flat bincount (much faster than np.add.at).
+    flat = (np.arange(nmb, dtype=np.int64)[:, None] * (MAX_COEFF_THRESH + 1) + v).ravel()
+    hist = np.bincount(flat, minlength=nmb * (MAX_COEFF_THRESH + 1)).reshape(
+        nmb, MAX_COEFF_THRESH + 1
+    )
     max_value = hist.max(axis=1)
     nz = hist > 0
     last_nz = np.where(nz.any(axis=1), MAX_COEFF_THRESH - np.argmax(nz[:, ::-1], axis=1), 1)

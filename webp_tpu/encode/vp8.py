@@ -1310,6 +1310,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     else:
         P = EncParams(seg)
         sid = None
+        seg_results = None
 
     if not two_pass:
         packed1 = encode_analysis_batch_v2_packed(
@@ -1323,7 +1324,9 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
             out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
             return [{k: out[k][i] for k in out} for i in range(len(planes))]
 
-        return lambda: (_fetch_packed(packed1, planes, fallback1), None)
+        return lambda: (
+            _fetch_packed(packed1, planes, fallback1), None, None, seg_results
+        )
 
     # Two-pass: pass 1 returns only the on-device token statistics (a few
     # KB/image — the pass-1 levels never cross the tunnel); pass 2 re-decides
@@ -1352,10 +1355,11 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
         tables = enc_tables_from_probs(jnp.asarray(np.stack(probs)))
 
         if dev_tokens:
-            return _fetch_tokens(
+            arrays_t, probs_t, parts_t = _fetch_tokens(
                 Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
                 method >= 4, sid,
             )
+            return arrays_t, probs_t, parts_t, seg_results
 
         packed2 = encode_analysis_batch_v2_pertbl_packed(
             Y, U, V, P, tables, mbw, mbh, n_try, method >= 4, sid
@@ -1378,7 +1382,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
             return outs
 
         arrays2 = _fetch_packed(packed2, planes, fallback2)
-        return arrays2, probs
+        return arrays2, probs, None, seg_results
 
     return fetch
 
@@ -1412,8 +1416,14 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
     each image's pre-encoded coefficient partitions + skip flags: for the
     two-pass flow, `probs` carries each image's pass-1-adapted probabilities
     (from device statistics) and `arrays` the pass-2 decisions — together
-    they reproduce the single-image two-pass flow exactly."""
-    if len(fetched) == 3:
+    they reproduce the single-image two-pass flow exactly.  A 4th element
+    (per-image k-means segment results from the analysis side) lets the
+    finisher reuse them instead of recomputing ~46 ms/img of host DCT
+    histograms."""
+    seg_results = None
+    if len(fetched) == 4:
+        arrays_list, probs, parts_list, seg_results = fetched
+    elif len(fetched) == 3:
         arrays_list, probs, parts_list = fetched
     else:
         arrays_list, probs = fetched
@@ -1434,6 +1444,11 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
             enc.probs_override = probs[i]
         if not segments:
             enc._setup_segments = lambda qi: Vp8Encoder._setup_segments_off(enc)
+        elif seg_results is not None:
+            def inject(qi, enc=enc, r=seg_results[i]):
+                (enc.segments_enabled, enc.segments_update_map,
+                 enc.segment_map, enc.segments_list, enc.seg_tree_probs) = r
+            enc._setup_segments = inject
         if parts_list is not None and parts_list[i] is not None:
             enc.partitions_override, enc.skip_override = parts_list[i]
             enc.device_mb_headers = True
