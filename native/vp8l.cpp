@@ -957,4 +957,213 @@ int vp8l_lz77(const uint32_t* px, int n, int32_t* out_len, int32_t* out_dist,
     return nt;
 }
 
+// Limited-length Huffman code lengths for K groups of concatenated
+// alphabet segments (the VP8L encoder's 5 trees per entropy group).
+// Mirrors webp_tpu/encode/vp8l.py build_code_lengths exactly (heap with
+// (freq, id) tie-break, counts-based limit fixup, stable-by-frequency
+// reassignment) so the native and python paths emit identical lengths.
+//   hist: K*A int64, offs: n_seg+1 int32 (segment s = [offs[s], offs[s+1]))
+//   out:  K*A uint8 lengths (0 = unused symbol / <2-symbol segment)
+int vp8l_huffman_lengths(const int64_t* hist, int K, int A,
+                         const int32_t* offs, int n_seg, int limit,
+                         uint8_t* out) {
+    if (limit <= 0 || limit > 30) return -1;
+    std::vector<std::pair<int64_t, int> > heap;   // min-heap of (freq, id)
+    std::vector<int> parent;
+    std::vector<int> used;
+    std::vector<int> depth;
+    auto cmp = [](const std::pair<int64_t, int>& a,
+                  const std::pair<int64_t, int>& b) { return a > b; };
+    for (int k = 0; k < K; k++) {
+        for (int s = 0; s < n_seg; s++) {
+            const int lo = offs[s], hi = offs[s + 1];
+            const int n = hi - lo;
+            const int64_t* f = hist + (int64_t)k * A + lo;
+            uint8_t* o = out + (int64_t)k * A + lo;
+            for (int i = 0; i < n; i++) o[i] = 0;
+            used.clear();
+            for (int i = 0; i < n; i++)
+                if (f[i] > 0) used.push_back(i);
+            if (used.size() <= 1) continue;
+            heap.clear();
+            parent.assign(2 * n, -1);
+            for (int i : used) heap.push_back({f[i], i});
+            std::make_heap(heap.begin(), heap.end(), cmp);
+            int next_id = n;
+            while (heap.size() > 1) {
+                std::pop_heap(heap.begin(), heap.end(), cmp);
+                auto a = heap.back(); heap.pop_back();
+                std::pop_heap(heap.begin(), heap.end(), cmp);
+                auto b = heap.back(); heap.pop_back();
+                parent[a.second] = next_id;
+                parent[b.second] = next_id;
+                heap.push_back({a.first + b.first, next_id});
+                std::push_heap(heap.begin(), heap.end(), cmp);
+                next_id++;
+            }
+            depth.assign(n, 0);
+            int maxd = 0;
+            for (int i : used) {
+                int d = 0, x = i;
+                while (parent[x] >= 0) { x = parent[x]; d++; }
+                depth[i] = d;
+                if (d > maxd) maxd = d;
+            }
+            if (maxd <= limit) {
+                for (int i : used) o[i] = (uint8_t)depth[i];
+                continue;
+            }
+            // Kraft fixup, then reassign by ascending frequency (stable).
+            std::vector<int64_t> counts(limit + 1, 0);
+            for (int i : used) counts[depth[i] < limit ? depth[i] : limit]++;
+            int64_t total = 0;
+            for (int i = 1; i <= limit; i++)
+                total += counts[i] << (limit - i);
+            while (total > ((int64_t)1 << limit)) {
+                int i = limit - 1;
+                while (counts[i] == 0) i--;
+                counts[i]--; counts[limit]--; counts[i + 1] += 2; total--;
+            }
+            std::vector<int> order(used);
+            std::stable_sort(order.begin(), order.end(),
+                             [&](int a2, int b2) { return f[a2] < f[b2]; });
+            int ln = limit;
+            for (int i : order) {
+                while (counts[ln] == 0) ln--;
+                o[i] = (uint8_t)ln;
+                counts[ln]--;
+            }
+        }
+    }
+    return 0;
+}
+
+// Exact color-cache hit mask: pixel i hits iff the most recent earlier
+// pixel in its hash bucket holds the same ARGB value (decode inserts every
+// pixel, so the bucket's last writer decides).  out_hits: n uint8,
+// out_hash: n int32.
+int vp8l_cache_hits(const uint32_t* packed, int n, int bits,
+                    uint8_t* out_hits, int32_t* out_hash) {
+    if (bits < 1 || bits > 11) return -1;
+    std::vector<uint32_t> last(((size_t)1 << bits), 0);
+    std::vector<uint8_t> seen(((size_t)1 << bits), 0);
+    for (int i = 0; i < n; i++) {
+        const uint32_t v = packed[i];
+        const uint32_t h = (uint32_t)(0x1E35A7BDu * v) >> (32 - bits);
+        out_hash[i] = (int32_t)h;
+        out_hits[i] = seen[h] && last[h] == v;
+        last[h] = v;
+        seen[h] = 1;
+    }
+    return 0;
+}
+
+// Best-of-14 VP8L predictor selection per tile + final wrapped residual
+// (subtract-green domain), mirroring _pick_predictors in
+// webp_tpu/encode/vp8l.py (incl. its TR convention at the last column and
+// the row-0 = L / col-0 = T forced-mode residual overrides).
+//   u: h*w*4 uint8, cost_lut: 129 uint8 (1/32-bit units)
+//   out_modes: bh*bw uint8 (bh/bw = ceil(h or w >> size_bits))
+//   out_res:   h*w*4 uint8
+int vp8l_pick_predictors(const uint8_t* u, int w, int h, int size_bits,
+                         const uint8_t* cost_lut, uint8_t* out_modes,
+                         uint8_t* out_res) {
+    const int S = 1 << size_bits;
+    const int bw = (w + S - 1) >> size_bits;
+    const int bh = (h + S - 1) >> size_bits;
+    std::vector<int64_t> cost((size_t)bw * 14, 0);
+    auto px = [&](int y, int x, int c) -> int {
+        return u[((int64_t)y * w + x) * 4 + c];
+    };
+    // 14 predictions of channel c at (y, x); edge pixels (y==0 || x==0)
+    // never reach here in the cost pass and are overridden in the residual
+    // pass, so L/T/TL/TR are always in-bounds except TR's last column.
+    int P[14][4];
+    auto predict_all = [&](int y, int x) {
+        const bool last = (x == w - 1);
+        for (int c = 0; c < 4; c++) {
+            const int Lv = px(y, x - 1, c);
+            const int Tv = px(y - 1, x, c);
+            const int TLv = px(y - 1, x - 1, c);
+            const int TRv = last ? px(y, 0, c) : px(y - 1, x + 1, c);
+            P[0][c] = (c == 3) ? 255 : 0;
+            P[1][c] = Lv;
+            P[2][c] = Tv;
+            P[3][c] = TRv;
+            P[4][c] = TLv;
+            P[5][c] = ((((Lv + TRv) >> 1) + Tv) >> 1);
+            P[6][c] = (Lv + TLv) >> 1;
+            P[7][c] = (Lv + Tv) >> 1;
+            P[8][c] = (TLv + Tv) >> 1;
+            P[9][c] = (Tv + TRv) >> 1;
+            P[10][c] = (((Lv + TLv) >> 1) + ((Tv + TRv) >> 1)) >> 1;
+            const int p = Lv + Tv - TLv;
+            P[12][c] = p < 0 ? 0 : (p > 255 ? 255 : p);
+            const int a2 = (Lv + Tv) >> 1;
+            const int d = a2 - TLv;
+            const int half = d >= 0 ? (d >> 1) : -((-d) >> 1);
+            const int v13 = a2 + half;
+            P[13][c] = v13 < 0 ? 0 : (v13 > 255 ? 255 : v13);
+        }
+        // Mode 11 (select) picks L or T per whole pixel.
+        int p_left = 0, p_top = 0;
+        for (int c = 0; c < 4; c++) {
+            const int p = P[1][c] + P[2][c] - P[4][c];
+            p_left += p > P[1][c] ? p - P[1][c] : P[1][c] - p;
+            p_top += p > P[2][c] ? p - P[2][c] : P[2][c] - p;
+        }
+        const int sel = (p_left < p_top) ? 1 : 2;
+        for (int c = 0; c < 4; c++) P[11][c] = P[sel][c];
+    };
+    for (int by = 0; by < bh; by++) {
+        std::fill(cost.begin(), cost.end(), 0);
+        const int y0 = by * S;
+        const int y1 = y0 + S < h ? y0 + S : h;
+        for (int y = (y0 == 0 ? 1 : y0); y < y1; y++) {
+            for (int x = 1; x < w; x++) {
+                predict_all(y, x);
+                int64_t* cb = &cost[(size_t)(x >> size_bits) * 14];
+                for (int m = 0; m < 14; m++) {
+                    int csum = 0;
+                    for (int c = 0; c < 4; c++) {
+                        const int r = (px(y, x, c) - P[m][c]) & 0xFF;
+                        csum += cost_lut[r < 256 - r ? r : 256 - r];
+                    }
+                    cb[m] += csum;
+                }
+            }
+        }
+        for (int bx = 0; bx < bw; bx++) {
+            const int64_t* cb = &cost[(size_t)bx * 14];
+            int best = 0;
+            for (int m = 1; m < 14; m++)
+                if (cb[m] < cb[best]) best = m;
+            out_modes[(int64_t)by * bw + bx] = (uint8_t)best;
+        }
+    }
+    // Residual pass under the chosen modes with forced edge modes.
+    for (int y = 0; y < h; y++) {
+        const uint8_t* mrow = out_modes + (int64_t)(y >> size_bits) * bw;
+        for (int x = 0; x < w; x++) {
+            uint8_t* o = out_res + ((int64_t)y * w + x) * 4;
+            if (y == 0 && x == 0) {
+                for (int c = 0; c < 4; c++)
+                    o[c] = (uint8_t)((px(0, 0, c) - (c == 3 ? 255 : 0)) & 0xFF);
+            } else if (y == 0) {       // row 0: left predictor
+                for (int c = 0; c < 4; c++)
+                    o[c] = (uint8_t)((px(0, x, c) - px(0, x - 1, c)) & 0xFF);
+            } else if (x == 0) {       // column 0: top predictor
+                for (int c = 0; c < 4; c++)
+                    o[c] = (uint8_t)((px(y, 0, c) - px(y - 1, 0, c)) & 0xFF);
+            } else {
+                predict_all(y, x);
+                const int m = mrow[x >> size_bits];
+                for (int c = 0; c < 4; c++)
+                    o[c] = (uint8_t)((px(y, x, c) - P[m][c]) & 0xFF);
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

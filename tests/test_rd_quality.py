@@ -14,7 +14,7 @@ import pytest
 from PIL import Image
 
 from webp_tpu import Encoder
-from webp_tpu.metrics import dssim, psnr
+from webp_tpu.metrics import dssim, ms_ssim, psnr
 
 from conftest import load_png
 
@@ -22,14 +22,14 @@ from conftest import load_png
 def rd_point_ours(img, q):
     data = Encoder.new_rgb(img).with_quality(q).with_method(4).encode()
     dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    return len(data), psnr(img, dec), dssim(img, dec)
+    return len(data), psnr(img, dec), dssim(img, dec), ms_ssim(img, dec)
 
 
 def rd_point_libwebp(img, q):
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, "WEBP", quality=q, method=4)
     dec = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
-    return len(buf.getvalue()), psnr(img, dec), dssim(img, dec)
+    return len(buf.getvalue()), psnr(img, dec), dssim(img, dec), ms_ssim(img, dec)
 
 
 def interp_at_size(points, size, idx):
@@ -55,7 +55,7 @@ def rd_points(goldens):
 def test_equal_size_psnr_floor(rd_points):
     ours, theirs = rd_points
     deltas = []
-    for s, p, _ in theirs:
+    for s, p, _d, _m in theirs:
         p_ours = interp_at_size(ours, s, 1)
         if p_ours is not None:
             deltas.append(p_ours - p)
@@ -76,12 +76,25 @@ def test_equal_size_dssim_ratio(rd_points):
     gates at 3x: tests/lossy_encoder_quality.rs:161-380)."""
     ours, theirs = rd_points
     ratios = []
-    for s, _, d in theirs:
+    for s, _, d, _m in theirs:
         d_ours = interp_at_size(ours, s, 2)
         if d_ours is not None and d > 0:
             ratios.append(d_ours / d)
     assert ratios, "no overlapping rate range"
     assert max(ratios) < 2.1, ratios
+
+
+def test_equal_size_ms_ssim_floor(rd_points):
+    """MS-SSIM (Wang 2003 weights, webp_tpu.metrics) at equal size vs
+    libwebp; both codecs scored with the same implementation."""
+    ours, theirs = rd_points
+    deltas = []
+    for s, _p, _d, m in theirs:
+        m_ours = interp_at_size(ours, s, 3)
+        if m_ours is not None:
+            deltas.append(m_ours - m)
+    assert deltas, "no overlapping rate range"
+    assert np.mean(deltas) > -0.004, deltas
 
 
 @pytest.mark.slow
@@ -118,7 +131,7 @@ def test_full_rd_sweep(goldens):
         img = load_png(goldens / "gallery1" / f"{name}.png")
         ours = [rd_point_ours(img, q) for q in QUALITIES]
         theirs = [rd_point_libwebp(img, q) for q in QUALITIES]
-        for s, p, d in theirs:
+        for s, p, d, _m in theirs:
             p_ours = interp_at_size(ours, s, 1)
             d_ours = interp_at_size(ours, s, 2)
             if p_ours is not None:

@@ -35,6 +35,16 @@ def build_code_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
     lengths = np.zeros(n, np.int64)
     if len(used) <= 1:
         return lengths
+    try:
+        from ..io import native
+
+        if native.available():
+            out = native.vp8l_huffman_lengths(
+                np.asarray(freqs, np.int64)[None], np.array([0, n]), limit
+            )
+            return out[0].astype(np.int64)
+    except Exception:
+        pass
 
     heap = [(int(freqs[i]), int(i)) for i in used]
     heapq.heapify(heap)
@@ -259,6 +269,13 @@ def _cache_hits(packed: np.ndarray, bits: int):
     """Exact color-cache hit mask: pixel i hits iff the most recent earlier
     pixel in its hash bucket holds the same value (every decoded pixel is
     inserted, so the bucket's last writer before i decides)."""
+    try:
+        from ..io import native
+
+        if native.available():
+            return native.vp8l_cache_hits(packed.astype(np.uint32), bits)
+    except Exception:
+        pass
     h = ((0x1E35A7BD * packed.astype(np.uint64)) & 0xFFFFFFFF) >> (32 - bits)
     h = h.astype(np.int64)
     n = len(packed)
@@ -505,6 +522,19 @@ def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits=None):
     are excluded. Returns (size_bits, modes [bh, bw] uint8,
     residual [h, w, 4] int64).
     """
+    if size_bits is None:
+        # 4-px tiles win consistently on real content (see note below).
+        size_bits = 2
+    try:
+        from ..io import native
+
+        if native.available():
+            modes, res = native.vp8l_pick_predictors(
+                u.astype(np.uint8), w, h, size_bits, _PRED_COST_LUT32
+            )
+            return size_bits, modes, res.astype(np.int64)
+    except Exception:
+        pass
     u = u.astype(np.int16)
     L = np.zeros_like(u)
     L[:, 1:] = u[:, :-1]
@@ -568,8 +598,6 @@ def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits=None):
     # residual gains dominate). Cost-surrogate selection between sizes
     # systematically mispredicts the coded sizes; a fixed fine tile is both
     # simpler and better.
-    if size_bits is None:
-        size_bits = 2
     cost_blk = pool_at(size_bits)
     modes = np.argmin(cost_blk, axis=0).astype(np.uint8)
     bh, bw = modes.shape
@@ -835,6 +863,21 @@ def _meta_cluster(lit_pos, lit_g_sym, lit_miss, lit_r, lit_b, lit_a,
         """[K, A] code lengths of each group's 5 trees (15 = unseen)."""
         gh = np.zeros((K, A), np.int64)
         np.add.at(gh, assign, th)
+        try:
+            from ..io import native
+
+            if native.available():
+                cl = native.vp8l_huffman_lengths(
+                    gh, offs.astype(np.int32), 15
+                ).astype(np.float64)
+                # Single-symbol trees code for free; unseen symbols cost 15.
+                for s, e in zip(offs[:-1], offs[1:]):
+                    single = (gh[:, s:e] > 0).sum(1) == 1
+                    cl[single, s:e] = 0.0
+                cl[gh == 0] = 15.0
+                return cl
+        except Exception:
+            pass
         cl = np.zeros((K, A), np.float64)
         for k in range(K):
             for s, e in zip(offs[:-1], offs[1:]):

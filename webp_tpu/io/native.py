@@ -98,6 +98,19 @@ def _load_locked():
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, i32p, i32p,
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.vp8l_huffman_lengths.restype = ctypes.c_int
+    lib.vp8l_huffman_lengths.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, u8p,
+    ]
+    lib.vp8l_pick_predictors.restype = ctypes.c_int
+    lib.vp8l_pick_predictors.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p,
+    ]
+    lib.vp8l_cache_hits.restype = ctypes.c_int
+    lib.vp8l_cache_hits.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int, u8p, i32p,
+    ]
     _lib = lib
     return lib
 
@@ -285,6 +298,62 @@ def vp8l_lz77(packed: np.ndarray, optimal: bool = True):
     if nt < 0:
         raise ValueError("vp8l_lz77 overflow")
     return out_len[:nt].astype(np.int64), out_dist[:nt].astype(np.int64)
+
+
+def vp8l_huffman_lengths(hist: np.ndarray, offs: np.ndarray, limit: int = 15):
+    """Limited Huffman code lengths for [K, A] concatenated-alphabet
+    histograms; segment s spans columns [offs[s], offs[s+1]). Identical
+    output to encode.vp8l.build_code_lengths per segment."""
+    lib = _load()
+    hist = np.ascontiguousarray(hist, np.int64)
+    if hist.ndim == 1:
+        hist = hist[None]
+    K, A = hist.shape
+    offs = np.ascontiguousarray(offs, np.int32)
+    out = np.zeros((K, A), np.uint8)
+    rc = lib.vp8l_huffman_lengths(
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), K, A,
+        _p(offs, ctypes.c_int32), len(offs) - 1, limit,
+        _p(out, ctypes.c_uint8),
+    )
+    if rc != 0:
+        raise ValueError("vp8l_huffman_lengths failed")
+    return out
+
+
+def vp8l_cache_hits(packed: np.ndarray, bits: int):
+    """Exact color-cache hit mask + hash per pixel -> (hits bool, hash i64)."""
+    lib = _load()
+    px = np.ascontiguousarray(packed, np.uint32)
+    n = len(px)
+    hits = np.zeros(n, np.uint8)
+    hsh = np.zeros(n, np.int32)
+    rc = lib.vp8l_cache_hits(
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, bits,
+        _p(hits, ctypes.c_uint8), _p(hsh, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError("vp8l_cache_hits failed")
+    return hits.astype(bool), hsh.astype(np.int64)
+
+
+def vp8l_pick_predictors(u: np.ndarray, w: int, h: int, size_bits: int,
+                         cost_lut: np.ndarray):
+    """Best-of-14 predictor modes per tile + wrapped residual (uint8)."""
+    lib = _load()
+    u8 = np.ascontiguousarray(u, np.uint8)
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    modes = np.zeros((bh, bw), np.uint8)
+    res = np.zeros((h, w, 4), np.uint8)
+    lut = np.ascontiguousarray(cost_lut, np.uint8)
+    rc = lib.vp8l_pick_predictors(
+        _p(u8, ctypes.c_uint8), w, h, size_bits, _p(lut, ctypes.c_uint8),
+        _p(modes, ctypes.c_uint8), _p(res, ctypes.c_uint8),
+    )
+    if rc != 0:
+        raise ValueError("vp8l_pick_predictors failed")
+    return modes, res
 
 
 def vp8l_decode(data: bytes, width: int, height: int, implicit: bool = False):

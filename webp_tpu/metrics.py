@@ -1,4 +1,4 @@
-"""Quality metrics for the RD harness: PSNR and DSSIM.
+"""Quality metrics for the RD harness: PSNR, SSIM, MS-SSIM, and DSSIM.
 
 DSSIM here is the classic Gaussian-windowed SSIM turned into a
 dissimilarity (1/ssim - 1), computed per RGB channel and averaged — the
@@ -6,6 +6,15 @@ same scale the reference's quality gates use (its `dssim` crate scores are
 also 1/ssim-1 based), though not byte-compatible with that crate's
 linear-light LAB pipeline. Used for equal-size quality-floor tests
 (reference tests/lossy_encoder_quality.rs:161-380).
+
+MS-SSIM is Wang/Simoncelli/Bovik 2003 with the published scale weights —
+a fully-specified metric reproducible by any other implementation, used by
+the corpus sweep (tests/test_corpus_rd.py) as the perceptual axis.  The
+reference's headline perceptual numbers are SSIMULACRA2 (via the external
+`fast-ssim2` crate); its 108-entry tuned weight vector is not available in
+this offline environment, so an exact-unit reimplementation is impossible —
+instead the sweep scores OUR output and libwebp's output with the SAME
+metrics at equal size, which keeps every comparison apples-to-apples.
 """
 
 from __future__ import annotations
@@ -52,6 +61,59 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
     num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
     den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
     return float((num / den).mean())
+
+
+def _ssim_terms(a: np.ndarray, b: np.ndarray, data_range: float = 255.0):
+    """Mean luminance and contrast-structure SSIM terms of [H, W] planes."""
+    k = _gaussian_kernel()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a = _filter2_sep(a, k)
+    mu_b = _filter2_sep(b, k)
+    saa = _filter2_sep(a * a, k) - mu_a**2
+    sbb = _filter2_sep(b * b, k) - mu_b**2
+    sab = _filter2_sep(a * b, k) - mu_a * mu_b
+    lum = (2 * mu_a * mu_b + c1) / (mu_a**2 + mu_b**2 + c1)
+    cs = (2 * sab + c2) / (saa + sbb + c2)
+    return float(lum.mean()), float(cs.mean())
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _downsample2(img: np.ndarray) -> np.ndarray:
+    h, w = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+    c = img[:h, :w]
+    return (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0
+
+
+def ms_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    """Multi-scale SSIM (Wang et al. 2003, standard 5-scale weights).
+
+    Accepts [H, W] or [H, W, C] uint8/float; channels are averaged.  Scales
+    whose filtered size would vanish are dropped with the weights
+    renormalized, so small crops still score.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3:
+        return float(
+            np.mean([ms_ssim(a[..., c], b[..., c], data_range) for c in range(a.shape[-1])])
+        )
+    vals = []
+    for i, wgt in enumerate(_MSSSIM_WEIGHTS):
+        if min(a.shape) < 11:
+            break
+        lum, cs = _ssim_terms(a, b, data_range)
+        vals.append((max(lum, 1e-6), max(cs, 1e-6), wgt))
+        if i + 1 < len(_MSSSIM_WEIGHTS):
+            a, b = _downsample2(a), _downsample2(b)
+    wsum = sum(w for _, _, w in vals)
+    score = 1.0
+    for j, (lum, cs, wgt) in enumerate(vals):
+        term = lum * cs if j == len(vals) - 1 else cs  # luminance on last scale
+        score *= term ** (wgt / wsum)
+    return float(score)
 
 
 def dssim(a: np.ndarray, b: np.ndarray) -> float:
