@@ -107,19 +107,24 @@ def main():
     arrays = fetch()
     t_enc_fetch = (time.time() - t0) / BATCH  # device compute + down transfer
 
-    # steady state, pipelined: the down-transfer+unpack of batch i runs in a
-    # worker thread, overlapping both the device analysis of batch i+1 and
-    # the host entropy coding of batch i-1.  Median-of-rounds.
+    # steady state, pipelined: one dedicated analysis lane (a single worker
+    # thread runs dispatch AND fetch for each round, so the device stream
+    # receives stats(i), pass2(i), stats(i+1), ... in order — two lanes race
+    # their dispatches and serialize pass2(i) behind stats(i+1), which shows
+    # up as bimodal round times).  Host entropy coding of batch i-1 runs on
+    # the main thread, overlapping the worker's device round.
     from concurrent.futures import ThreadPoolExecutor
 
-    xfer = ThreadPoolExecutor(max_workers=2)
+    xfer = ThreadPoolExecutor(max_workers=1)
+    dec_lane = ThreadPoolExecutor(max_workers=1)
     E.XFER.update(up=0, down=0)
     enc_times = []
-    fut = xfer.submit(analyze())
+    round_job = lambda: analyze()()
+    fut = xfer.submit(round_job)
     prev_arrays = None
     for r in range(ROUNDS):
         t0 = time.time()
-        nxt = xfer.submit(analyze()) if r + 1 < ROUNDS else None
+        nxt = xfer.submit(round_job) if r + 1 < ROUNDS else None
         if prev_arrays is not None:
             vp8s = finish(prev_arrays)
         prev_arrays = fut.result()
@@ -164,12 +169,12 @@ def main():
     # batch i+1 runs in a worker thread while the device decodes batch i.
     D.XFER.update(up=0, down=0)
     dec_times = []
-    fut = xfer.submit(D.dispatch_decode_batch, payloads)
+    fut = dec_lane.submit(D.dispatch_decode_batch, payloads)
     for r in range(ROUNDS):
         t0 = time.time()
         handle = fut.result()
         fut = (
-            xfer.submit(D.dispatch_decode_batch, payloads)
+            dec_lane.submit(D.dispatch_decode_batch, payloads)
             if r + 1 < ROUNDS
             else None
         )

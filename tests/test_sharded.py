@@ -150,13 +150,13 @@ def test_sharded_token_encode_all_gather():
     mesh = make_mesh(n_data=8, n_band=1)
     max_ops, max_bytes = nmb * 420, 4096
     step = make_encode_tokens_sharded(mesh, mbw, mbh, nparts, max_ops, max_bytes)
-    lead_s, tok_s, tokn_s = (np.asarray(a) for a in step(
+    lead_s, tok_s, tokn_s, bot_s, bn_s = (np.asarray(a) for a in step(
         jnp.asarray(y2), jnp.asarray(yl), jnp.asarray(uv),
         jnp.asarray(lm), jnp.asarray(probs),
     ))
 
     for b in range(B):
-        lead, tok, tok_n, _, _ = encode_coeff_partitions(
+        lead, tok, tok_n, state, _ = encode_coeff_partitions(
             jnp.asarray(y2[b]), jnp.asarray(yl[b]), jnp.asarray(uv[b]),
             jnp.asarray(lm[b]), jnp.asarray(probs[b]),
             mbw, mbh, nparts, max_ops, max_bytes,
@@ -164,3 +164,5 @@ def test_sharded_token_encode_all_gather():
         assert np.array_equal(lead_s[b], np.asarray(lead)), b
         assert np.array_equal(tokn_s[b], np.asarray(tok_n)), b
         assert np.array_equal(tok_s[b], np.asarray(tok)), b
+        assert np.array_equal(bot_s[b], np.asarray(state[0])), b
+        assert np.array_equal(bn_s[b], np.asarray(state[2])), b

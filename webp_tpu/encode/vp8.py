@@ -28,6 +28,10 @@ from .quant import (SegmentParams, quality_to_quant_index, compute_filter_level,
                     RD_DISTO_MULT, rd_score)
 
 ZZ = T.ZIGZAG  # zigzag position -> raster index
+
+# Content-adaptive chroma-AC quantization from uv_alpha (libwebp dq_uv_ac);
+# see setup_segments.  Overridable for A/B via env.
+ADAPTIVE_UV_AC = os.environ.get("WEBP_TPU_ADAPTIVE_UV_AC", "0") == "1"
 DC, V, H, TM, B = range(5)
 
 # Precomputed tree paths for the writers.
@@ -1024,13 +1028,16 @@ def setup_segments(ybuf, ubuf, vbuf, mbw, mbh, base_qi, base_seg):
     lo, hi = int(centers.min()), int(centers.max())
     rng = max(hi - lo, 1)
     segment_map = amap[alphas].astype(np.int32)
-    # Content-adaptive chroma-AC quant delta (libwebp's dq_uv_ac from the
-    # mean chroma susceptibility). Measured equal-size PSNR on the fixture
-    # got WORSE with the libwebp formula (-0.78 -> -0.82 dB), so the value
-    # stays 0; the plumbing (SegmentParams.uv_ac_delta + the header field)
-    # is in place for a future calibration. uv_alpha here spans ~[40..90].
-    del uv_alpha
-    uv_ac_delta = 0
+    # Content-adaptive chroma-AC quant delta (libwebp quant_enc.c's
+    # dq_uv_ac: centered uv_alpha mapped onto [-4, 6] and rescaled by
+    # sns/100; larger uv_alpha = smoother chroma = coarser chroma AC).
+    # Round 2 measured this worse, but that was under the inverted luma
+    # segment formula; gate on ADAPTIVE_UV_AC for A/B.
+    if ADAPTIVE_UV_AC:
+        d = int((uv_alpha - 64) * (6 - (-4)) / (100 - 30))  # C trunc-to-zero
+        uv_ac_delta = min(max(int(d * 50 / 100), -4), 6)
+    else:
+        uv_ac_delta = 0
     segments_list = []
     for c in centers:
         t_alpha = min(max(255 * (int(c) - mid) // rng, -127), 127)

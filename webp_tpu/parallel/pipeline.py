@@ -211,25 +211,24 @@ def make_encode_tokens_sharded(mesh, mbw: int, mbh: int, nparts: int,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("data"),) * 5,
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_rep=False,
     )
     def step(y2_levels, y_levels, uv_levels, luma_mode, probs_flat):
         def one(y2, yl, uv, lm, pf):
-            lead, tok, tok_n, _state, _n_ops = (
+            lead, tok, tok_n, state, _n_ops = (
                 encode_coeff_partitions.__wrapped__(
                     y2, yl, uv, lm, pf, mbw, mbh, nparts, max_ops, max_bytes
                 )
             )
-            return lead, tok, tok_n
+            # state = (bottom, range, bit_num): bottom + bit_num finish the
+            # byte assembly on the host (ops/boolenc2.assemble_lane).
+            return lead, tok, tok_n, state[0], state[2]
 
-        lead, tok, tok_n = jax.vmap(one)(
+        lead, tok, tok_n, bottom, bit_num = jax.vmap(one)(
             y2_levels, y_levels, uv_levels, luma_mode, probs_flat
         )
-        return (
-            jax.lax.all_gather(lead, "data", tiled=True),
-            jax.lax.all_gather(tok, "data", tiled=True),
-            jax.lax.all_gather(tok_n, "data", tiled=True),
-        )
+        ag = lambda a: jax.lax.all_gather(a, "data", tiled=True)
+        return ag(lead), ag(tok), ag(tok_n), ag(bottom), ag(bit_num)
 
     return step
