@@ -26,7 +26,7 @@ from ..ops.wavefront import reconstruct_frame
 # "pallas" runs them as two Pallas kernels with VMEM-resident state.
 # WEBP_TPU_DECODE_BACKEND overrides: pallas|scan|v1.
 from ..ops.loopfilter2 import loop_filter_frames_v2
-from ..ops.wavefront2 import reconstruct_frames_v2
+from ..ops.wavefront2 import decode_frames_fused_v2, reconstruct_frames_v2
 
 
 def _decode_backend() -> str:
@@ -56,9 +56,9 @@ def _device_decode_batch_v2(
             level, interior, hev_t, do_sub, mbw, mbh, simple,
         )
     else:
-        y, u, v = reconstruct_frames_v2(residuals, luma_mode, bpred, chroma_mode, mbw, mbh)
-        y, u, v = loop_filter_frames_v2(
-            y, u, v, level, interior, hev_t, do_sub, mbw, mbh, simple
+        y, u, v = decode_frames_fused_v2(
+            residuals, luma_mode, bpred, chroma_mode,
+            level, interior, hev_t, do_sub, mbw, mbh, simple
         )
     rgb = jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)
     return y, u, v, rgb
@@ -489,9 +489,9 @@ def _decode_core(
             mbw, mbh, simple,
         )
     else:
-        y, u, v = reconstruct_frames_v2(residuals, lm, bp, cm, mbw, mbh)
-        y, u, v = loop_filter_frames_v2(
-            y, u, v, level, interior, hev_t, do_sub, mbw, mbh, simple
+        y, u, v = decode_frames_fused_v2(
+            residuals, lm, bp, cm, level, interior, hev_t, do_sub,
+            mbw, mbh, simple
         )
     return jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)
 

@@ -32,6 +32,9 @@ ZZ = T.ZIGZAG  # zigzag position -> raster index
 # Content-adaptive chroma-AC quantization from uv_alpha (libwebp dq_uv_ac);
 # see setup_segments.  Overridable for A/B via env.
 ADAPTIVE_UV_AC = os.environ.get("WEBP_TPU_ADAPTIVE_UV_AC", "0") == "1"
+# Trellis at method>=4 (reference gate); WEBP_TPU_NO_TRELLIS=1 disables for
+# A/B against libwebp's m4 (= RD_OPT_BASIC, no trellis).
+TRELLIS_ENABLED = os.environ.get("WEBP_TPU_NO_TRELLIS", "0") != "1"
 DC, V, H, TM, B = range(5)
 
 # Precomputed tree paths for the writers.
@@ -223,7 +226,8 @@ class Vp8Encoder:
                 jnp.asarray(self.ybuf)[None], jnp.asarray(self.ubuf)[None],
                 jnp.asarray(self.vbuf)[None],
                 P, EncTables.from_level_costs(self.level_costs),
-                self.mbw, self.mbh, n_try, self.method >= 4, sid,
+                self.mbw, self.mbh, n_try,
+                self.method >= 4 and TRELLIS_ENABLED, sid,
             )
             arrays = {k: np.asarray(v[0]).astype(np.int32) for k, v in out.items()}
             # Device path leaves y2 zeroed for B MBs already.
@@ -436,7 +440,7 @@ class Vp8Encoder:
         # Chroma DC error-diffusion state [mbx][channel][2].
         top_derr = np.zeros((mbw, 2, 2), np.int64)
 
-        do_trellis = self.method >= 4
+        do_trellis = self.method >= 4 and TRELLIS_ENABLED
         wy = ET.VP8_WEIGHT_Y
         i4_try = 0 if self.method <= 1 else (3 if self.method <= 3 else (4 if self.method == 4 else 10))
 

@@ -270,6 +270,68 @@ def assemble_plane_v2(stacked, mbw: int, mbh: int, size: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple"))
+def decode_frames_fused_v2(residuals, luma_mode, bpred, chroma_mode,
+                           level, interior, hev_t, do_sub,
+                           mbw: int, mbh: int, simple: bool):
+    """Reconstruction + loop filter in ONE lax.scan.
+
+    The two-scan form (reconstruct_frames_v2 then loop_filter_frames_v2)
+    materializes the full [T, R, B, ...] recon stream to HBM, assembles
+    planes, and re-schedules them — ~170 MB of HBM round-trip per
+    768x512x32 batch.  Here filter_step consumes recon_step's outputs
+    directly inside the scan (the filter's 2-step emit lag is internal to
+    its ring state), so only the final filtered stream is written.
+    Bit-exact with the two-scan form.
+    """
+    from .loopfilter2 import filter_init_state, filter_step
+
+    B = residuals.shape[0]
+    T, idx = make_schedule_gather(mbw, mbh)
+
+    def pad2(a):
+        return jnp.concatenate([a, jnp.zeros((2,) + a.shape[1:], a.dtype)], axis=0)
+
+    res_s = pad2(schedule_mb_data(residuals, idx))
+    lm_s = pad2(schedule_mb_data(luma_mode, idx))
+    bp_s = pad2(schedule_mb_data(bpred, idx))
+    cm_s = pad2(schedule_mb_data(chroma_mode, idx))
+    lv_s = pad2(schedule_mb_data(level.astype(jnp.int32), idx))
+    it_s = pad2(schedule_mb_data(interior.astype(jnp.int32), idx))
+    hv_s = pad2(schedule_mb_data(hev_t.astype(jnp.int32), idx))
+    ds_s = pad2(schedule_mb_data(do_sub, idx))
+
+    rstate = recon_init_state(mbh, B, residuals.dtype)
+    fstate = filter_init_state(mbh, B, simple)
+    rkeys, fkeys = tuple(rstate), tuple(fstate)
+
+    def step(state, inp):
+        t, res, lm, bp, cm, lv, it, hv, ds = inp
+        nrs, (ry, ru, rv) = recon_step(
+            {k: state[k] for k in rkeys}, t, res, lm, bp, cm, mbw
+        )
+        nfs, outs = filter_step(
+            {k: state[k] for k in fkeys}, t, ry, ru, rv, lv, it, hv, ds,
+            mbw, simple,
+        )
+        # In simple mode chroma is never filtered: emit the recon stream.
+        emit = outs if not simple else (outs[0], ru, rv)
+        return {**nrs, **nfs}, emit
+
+    _, (fy, cu, cv) = jax.lax.scan(
+        step, {**rstate, **fstate},
+        (jnp.arange(T + 2), res_s, lm_s, bp_s, cm_s, lv_s, it_s, hv_s, ds_s),
+    )
+    y = assemble_plane_v2(fy[2:], mbw, mbh, 16).astype(jnp.uint8)
+    if simple:
+        u = assemble_plane_v2(cu[:T], mbw, mbh, 8).astype(jnp.uint8)
+        v = assemble_plane_v2(cv[:T], mbw, mbh, 8).astype(jnp.uint8)
+    else:
+        u = assemble_plane_v2(cu[2:], mbw, mbh, 8).astype(jnp.uint8)
+        v = assemble_plane_v2(cv[2:], mbw, mbh, 8).astype(jnp.uint8)
+    return y, u, v
+
+
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "unroll_i4"))
 def reconstruct_frames_v2(residuals, luma_mode, bpred, chroma_mode, mbw: int, mbh: int,
                           unroll_i4: bool = False):
