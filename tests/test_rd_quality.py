@@ -62,13 +62,13 @@ def test_equal_size_psnr_floor(rd_points):
     assert deltas, "no overlapping rate range"
     # Floor: reference-family parity. The reference itself is 0.3-0.9 dB
     # behind libwebp at equal size above Q75 and ~4.5% larger at Q75
-    # (SURVEY §6 / its FILE_SIZE_INVESTIGATION); measured here: parity at
-    # Q100, mean -0.78 dB over Q55-Q90 matched sizes after the I4
-    # DC-candidate + nz-context fixes (was -1.1 in round 2a).
+    # (SURVEY §6 / its FILE_SIZE_INVESTIGATION). Round-3 level after the
+    # SNS-direction fix: mean -0.37 dB over Q55-Q90 matched sizes on this
+    # fixture (was -0.78 in round 2); the residual gap concentrates at Q90.
     # These are regression guardrails at today's level — libwebp's CI floor
     # for the reference is far looser (PSNR >= 80%).
-    assert np.mean(deltas) > -0.95, deltas
-    assert min(deltas) > -1.3, deltas
+    assert np.mean(deltas) > -0.55, deltas
+    assert min(deltas) > -1.0, deltas
 
 
 def test_equal_size_dssim_ratio(rd_points):
@@ -113,7 +113,9 @@ def test_sharp_yuv_improves_high_q(goldens):
         dh = np.asarray(Image.open(io.BytesIO(shp)).convert("RGB"))
         gain = psnr(img, dh) - psnr(img, ds)
         assert gain > min_gain, (q, gain)
-        assert len(shp) < len(std) * 1.02, (q, len(shp), len(std))
+        # marginal size cost (1.03: the SNS-direction fix shrank the std
+        # encode ~1%, which widened this ratio without changing sharp-YUV)
+        assert len(shp) < len(std) * 1.03, (q, len(shp), len(std))
 
 
 def test_sharp_yuv_odd_dims(goldens):

@@ -444,6 +444,12 @@ class Vp8Encoder:
         wy = ET.VP8_WEIGHT_Y
         i4_try = 0 if self.method <= 1 else (3 if self.method <= 3 else (4 if self.method == 4 else 10))
 
+        # Diagnostic hook: force per-MB decisions (luma_mode [nmb],
+        # bpred [nmb, 16], chroma_mode [nmb]) to isolate mode-decision
+        # quality from coefficient-coding quality (e.g. replay libwebp's
+        # parsed modes through our quant/trellis pipeline).
+        override = getattr(self, "mode_override", None)
+
         for mby in range(mbh):
             left_y = np.full(17, 129, np.uint8)
             left_u = np.full(9, 129, np.uint8)
@@ -453,6 +459,12 @@ class Vp8Encoder:
             left_derr = np.zeros((2, 2), np.int64)
             for mbx in range(mbw):
                 mb = MBInfo()
+                f_lm = f_bp = f_cm = None
+                if override is not None:
+                    i_mb = mby * mbw + mbx
+                    f_lm = int(override[0][i_mb])
+                    f_bp = np.asarray(override[1][i_mb], np.int32)
+                    f_cm = int(override[2][i_mb])
                 if self.segments_enabled:
                     mb.segment_id = int(self.segment_map[mby * mbw + mbx])
                     seg = self.segments_list[mb.segment_id]
@@ -468,11 +480,17 @@ class Vp8Encoder:
                 best = None
                 is_flat = C.is_flat_source(src)
                 for mode_idx, mode in enumerate((DC, V, H, TM)):
-                    if mode == V and mby == 0:
+                    if f_lm is not None:
+                        # Forced: evaluate only the forced I16 mode (DC as a
+                        # placeholder when the MB is forced to I4).
+                        want = 0 if f_lm == 4 else f_lm
+                        if mode_idx != want:
+                            continue
+                    elif mode == V and mby == 0:
                         continue
-                    if mode == H and mbx == 0:
+                    elif mode == H and mbx == 0:
                         continue
-                    if mode == TM and (mbx == 0 or mby == 0):
+                    elif mode == TM and (mbx == 0 or mby == 0):
                         continue
                     ws = ws0.copy()
                     if mode == DC:
@@ -536,7 +554,15 @@ class Vp8Encoder:
 
                 # ---- I4 search --------------------------------------------------
                 use_i4 = False
-                if i4_try > 0:
+                if f_lm is not None:
+                    if f_lm == 4:
+                        r = self._pick_intra4(
+                            ws0, src, mbx, mby, top_bpred, left_bpred,
+                            np.iinfo(np.int64).max, 10, forced=f_bp,
+                        )
+                        use_i4 = True
+                        bpred_modes, i4_levels, i4_rec = r
+                elif i4_try > 0:
                     r = self._pick_intra4(
                         ws0, src, mbx, mby, top_bpred, left_bpred, i16_score, i4_try
                     )
@@ -591,11 +617,14 @@ class Vp8Encoder:
                 vws0 = pr.create_border_chroma(mbx, mby, top_v, left_v)
                 best_uv = None
                 for mode_idx, mode in enumerate((DC, V, H, TM)):
-                    if mode == V and mby == 0:
+                    if f_cm is not None:
+                        if mode_idx != f_cm:
+                            continue
+                    elif mode == V and mby == 0:
                         continue
-                    if mode == H and mbx == 0:
+                    elif mode == H and mbx == 0:
                         continue
-                    if mode == TM and (mbx == 0 or mby == 0):
+                    elif mode == TM and (mbx == 0 or mby == 0):
                         continue
                     levels = np.zeros((8, 16), np.int32)
                     recs = []
@@ -667,8 +696,12 @@ class Vp8Encoder:
                 mbs.append(mb)
         return mbs
 
-    def _pick_intra4(self, ws0, src, mbx, mby, top_bpred, left_bpred, i16_score, n_try):
-        """Per-subblock I4 mode search with running-score early exit."""
+    def _pick_intra4(self, ws0, src, mbx, mby, top_bpred, left_bpred, i16_score,
+                     n_try, forced=None):
+        """Per-subblock I4 mode search with running-score early exit.
+
+        `forced` (diagnostic): per-subblock modes [16] to evaluate alone —
+        the search degenerates to coefficient coding of the given modes."""
         seg = self.seg
         ws = ws0.copy()
         levels_out = np.zeros((16, 16), np.int32)
@@ -708,7 +741,9 @@ class Vp8Encoder:
                     np.broadcast_to(sb_src, preds.shape).reshape(10, -1),
                     preds.reshape(10, -1),
                 )
-                if n_try < 10:
+                if forced is not None:
+                    order = np.asarray([int(forced[bi])])
+                elif n_try < 10:
                     # DC is always a candidate: its header bits are far
                     # cheaper than any other mode's, so pure prediction-SSE
                     # ranking under-serves it (libwebp's DC-heavy mode mix).
@@ -752,10 +787,10 @@ class Vp8Encoder:
                 total_rate += int(rate[k])
                 total_disto += int(d[k] + sd[k])
                 running = rd_score(total_rate, total_disto, seg.lambda_mode)
-                if running >= i16_score:
+                if running >= i16_score and forced is None:
                     return None
                 total_mode_cost += int(mode_costs[m])
-                if total_mode_cost > max_header_bits:
+                if total_mode_cost > max_header_bits and forced is None:
                     return None
 
         return modes_out, levels_out, ws[1:17, 1:17].copy()
