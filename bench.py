@@ -107,28 +107,45 @@ def main():
     arrays = fetch()
     t_enc_fetch = (time.time() - t0) / BATCH  # device compute + down transfer
 
-    # steady state, pipelined: one dedicated analysis lane (a single worker
-    # thread runs dispatch AND fetch for each round, so the device stream
-    # receives stats(i), pass2(i), stats(i+1), ... in order — two lanes race
-    # their dispatches and serialize pass2(i) behind stats(i+1), which shows
-    # up as bimodal round times).  Host entropy coding of batch i-1 runs on
-    # the main thread, overlapping the worker's device round.
+    # Steady state: an explicit 3-stage software pipeline with deterministic
+    # device-stream order (stats(i), pass2(i), stats(i+1), pass2(i+1), ...).
+    #  - k-means for batch i+1 runs in the host pool (a lane of its own),
+    #  - the fetch closure's `chain` hook dispatches batch i+1's pass-1
+    #    kernel IMMEDIATELY after batch i's pass-2 kernel is enqueued, so
+    #    the device stays busy through batch i's downloads,
+    #  - host entropy coding of batch i-1 runs on the main thread.
+    # (One free-running lane per stage; racing two dispatch lanes makes the
+    # stream order nondeterministic and shows up as bimodal round times.)
     from concurrent.futures import ThreadPoolExecutor
 
     xfer = ThreadPoolExecutor(max_workers=1)
+    seg_lane = ThreadPoolExecutor(max_workers=1)
     dec_lane = ThreadPoolExecutor(max_workers=1)
     E.XFER.update(up=0, down=0)
     enc_times = []
-    round_job = lambda: analyze()()
-    fut = xfer.submit(round_job)
+    seg_of = (
+        (lambda: E.compute_seg_results(planes, 75, mbw, mbh))
+        if SEGMENTS
+        else (lambda: None)
+    )
+    analyze_with = lambda segs: E.analyze_frames_lossy_batch(
+        planes, 75, 4, mbw, mbh, segments=SEGMENTS, seg_results=segs
+    )
+    fetch_i = analyze_with(seg_of())
     prev_arrays = None
+    holder = {}
     for r in range(ROUNDS):
         t0 = time.time()
-        nxt = xfer.submit(round_job) if r + 1 < ROUNDS else None
+        seg_fut = seg_lane.submit(seg_of)
+
+        def chain(seg_fut=seg_fut):
+            holder["next"] = analyze_with(seg_fut.result())
+
+        fut = xfer.submit(fetch_i, chain if r + 1 < ROUNDS else None)
         if prev_arrays is not None:
             vp8s = finish(prev_arrays)
         prev_arrays = fut.result()
-        fut = nxt
+        fetch_i = holder.get("next")
         enc_times.append(time.time() - t0)
     t0 = time.time()
     vp8s = finish(prev_arrays)

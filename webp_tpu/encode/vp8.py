@@ -1235,7 +1235,7 @@ def _token_budgets(nmb: int, nparts: int):
 
 
 def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
-                  do_trellis, sid):
+                  do_trellis, sid, chain=None):
     """Device-token fetch: finished partition bitstreams + mode metadata;
     levels stay on the device (fetched per image only on budget overflow)."""
     import jax
@@ -1258,6 +1258,8 @@ def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
             nparts, max_ops, max_bytes, sid,
         )
     )
+    if chain is not None:
+        chain()
     meta8 = np.asarray(meta8_d)
     lead = np.asarray(lead_d)
     tok_n = np.asarray(tok_n_d)
@@ -1300,9 +1302,23 @@ def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
     return arrays_list, probs, parts_list
 
 
+def compute_seg_results(planes, quality: int, mbw, mbh):
+    """Per-image k-means segmentation for a batch (the host half of
+    analyze_frames_lossy_batch; pass the result back via seg_results= to
+    overlap it with device work in a pipeline)."""
+    qi = quality_to_quant_index(quality)
+    seg = SegmentParams(qi)
+    return list(
+        _host_pool().map(
+            lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
+            planes,
+        )
+    )
+
+
 def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
                                two_pass: bool = True, segments: bool = False,
-                               device_tokens: bool = None):
+                               device_tokens: bool = None, seg_results=None):
     """Dispatch the batched device RD analysis (async; packed transfer).
 
     Mirrors the reference two-pass flow across a whole batch: pass 1 (no
@@ -1345,12 +1361,13 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     # backend + tests) but its per-lane parameter selects currently blow the
     # remote XLA compile budget at batch scale.
     if segments and mbw * mbh >= 256:
-        seg_results = list(
-            _host_pool().map(
-                lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
-                planes,
+        if seg_results is None:
+            seg_results = list(
+                _host_pool().map(
+                    lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
+                    planes,
+                )
             )
-        )
         P = EncParamsSegs.from_segments([r[3] for r in seg_results])
         sid = jnp.asarray(np.stack([r[2] for r in seg_results]))
     else:
@@ -1385,7 +1402,13 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
 
     stats = encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1, sid)
 
-    def fetch():
+    def fetch(chain=None):
+        """Blocking half: fetch pass-1 stats, adapt, dispatch pass 2, fetch.
+
+        `chain` (optional zero-arg callable) runs right after the pass-2
+        kernel is dispatched — a pipelining hook so the caller can enqueue
+        the NEXT batch's pass-1 kernel behind it and keep the device busy
+        through this batch's downloads."""
         totals, ones = (np.asarray(a).astype(np.int64) for a in stats)
         default = T.COEFF_PROBS_DEFAULT.copy()
 
@@ -1403,13 +1426,15 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
         if dev_tokens:
             arrays_t, probs_t, parts_t = _fetch_tokens(
                 Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
-                method >= 4, sid,
+                method >= 4, sid, chain=chain,
             )
             return arrays_t, probs_t, parts_t, seg_results
 
         packed2 = encode_analysis_batch_v2_pertbl_packed(
             Y, U, V, P, tables, mbw, mbh, n_try, method >= 4, sid
         )
+        if chain is not None:
+            chain()
 
         def fallback2():  # pragma: no cover - escape overflow
             outs = []
