@@ -210,7 +210,11 @@ def main():
 
     ll_path = Path("/root/reference/tests/images/gallery2/1_webp_ll.webp")
     ll_stages = {}
-    if warm_encode > 240 or warm_decode > 120:
+    # The remote compiler's warmup varies 120..500 s between runs even with
+    # a fully-warm persistent cache (tunnel variance); only skip the
+    # lossless stage on a truly pathological run — its kernels are small
+    # and cached, so it adds ~2 s when healthy.
+    if warm_encode > 900 or warm_decode > 300:
         ll_stages = {"lossless_stage": "skipped (slow-compiler run)"}
     elif ll_path.exists():
         try:
