@@ -985,6 +985,11 @@ int vp8l_huffman_lengths(const int64_t* hist, int K, int A,
             for (int i = 0; i < n; i++)
                 if (f[i] > 0) used.push_back(i);
             if (used.size() <= 1) continue;
+            // Infeasible: no depth<=limit prefix code exists.  Without this
+            // guard the Kraft fixup loop walks counts[] out of bounds and
+            // corrupts the heap.  In-contract callers never hit it.
+            if (limit < 30 && (int64_t)used.size() > ((int64_t)1 << limit))
+                return -1;
             heap.clear();
             parent.assign(2 * n, -1);
             for (int i : used) heap.push_back({f[i], i});

@@ -67,3 +67,54 @@ def test_overflow_flags():
         sparse.device_expand_levels(jnp.asarray(bm[None]), jnp.asarray(vals[None]), n)
     )[0]
     assert np.array_equal(got, flat)
+
+
+def test_device_pack_mb_host_expand_roundtrip():
+    rng = np.random.RandomState(9)
+    nmb, S, cap_mb = 24, 400, 128
+    lv = np.stack(
+        [_levels_like(rng, nmb * S, d).reshape(nmb, S) for d in (0.0, 0.1, 0.23)]
+    )
+    bm, vals, over = (
+        np.asarray(a)
+        for a in sparse.device_pack_levels_mb(jnp.asarray(lv), cap_mb)
+    )
+    assert not over.any()
+    assert vals.shape == (3, nmb, cap_mb)
+    for b in range(len(lv)):
+        got = sparse.host_expand_levels_mb(bm[b], vals[b], nmb, S)
+        assert np.array_equal(got, lv[b])
+        assert np.array_equal(bm[b], np.packbits(lv[b].reshape(-1) != 0))
+
+
+def test_device_pack_mb_overflow_per_mb():
+    nmb, S, cap_mb = 8, 400, 128
+    lv = np.zeros((1, nmb, S), np.int8)
+    lv[0, 3, : cap_mb + 1] = 5  # one MB over budget
+    _, _, over = sparse.device_pack_levels_mb(jnp.asarray(lv), cap_mb)
+    assert bool(np.asarray(over)[0])
+    lv[0, 3, cap_mb] = 0  # exactly at cap: fine
+    bm, vals, over = (
+        np.asarray(a)
+        for a in sparse.device_pack_levels_mb(jnp.asarray(lv), cap_mb)
+    )
+    assert not over.any()
+    assert np.array_equal(
+        sparse.host_expand_levels_mb(bm[0], vals[0], nmb, S), lv[0]
+    )
+
+
+def test_device_pack_mb_extreme_values():
+    # +/-127 levels (the escape-clip values) survive the f32 matmul exactly
+    nmb, S, cap_mb = 4, 400, 128
+    lv = np.zeros((1, nmb, S), np.int8)
+    lv[0, :, ::7] = -127
+    lv[0, :, ::13] = 127
+    bm, vals, over = (
+        np.asarray(a)
+        for a in sparse.device_pack_levels_mb(jnp.asarray(lv), cap_mb)
+    )
+    assert not over.any()
+    assert np.array_equal(
+        sparse.host_expand_levels_mb(bm[0], vals[0], nmb, S), lv[0]
+    )

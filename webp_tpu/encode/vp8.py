@@ -1387,9 +1387,16 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
             out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
             return [{k: out[k][i] for k in out} for i in range(len(planes))]
 
-        return lambda: (
-            _fetch_packed(packed1, planes, fallback1), None, None, seg_results
-        )
+        def fetch1(chain=None):
+            # Same signature as the two-pass fetch so callers can use the
+            # pipelined `xfer.submit(fetch, chain)` pattern either way
+            # (ADVICE r3).  Nothing left to dispatch here, so the chained
+            # next-batch dispatch runs first.
+            if chain is not None:
+                chain()
+            return _fetch_packed(packed1, planes, fallback1), None, None, seg_results
+
+        return fetch1
 
     # Two-pass: pass 1 returns only the on-device token statistics (a few
     # KB/image — the pass-1 levels never cross the tunnel); pass 2 re-decides

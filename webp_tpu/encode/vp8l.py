@@ -27,7 +27,7 @@ from ..errors import InvalidDimensions
 
 # -- canonical, length-limited Huffman --------------------------------------
 
-def build_code_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
+def build_code_lengths(freqs: np.ndarray, limit: int, allow_native: bool = True) -> np.ndarray:
     """Huffman code lengths (<= limit) for symbol frequencies; all-zero when
     fewer than two symbols are used."""
     n = len(freqs)
@@ -35,16 +35,24 @@ def build_code_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
     lengths = np.zeros(n, np.int64)
     if len(used) <= 1:
         return lengths
-    try:
-        from ..io import native
+    if len(used) > (1 << limit):
+        # No prefix code of depth <= limit exists; the codec never requests
+        # this (limit 7 only for the 19-symbol code-length alphabet, limit 15
+        # for alphabets <= 2328) — fail loudly instead of emitting garbage.
+        raise ValueError(f"{len(used)} symbols cannot fit depth-{limit} code")
+    if allow_native:
+        try:
+            from ..io import native
 
-        if native.available():
-            out = native.vp8l_huffman_lengths(
-                np.asarray(freqs, np.int64)[None], np.array([0, n]), limit
-            )
-            return out[0].astype(np.int64)
-    except Exception:
-        pass
+            if native.available():
+                out = native.vp8l_huffman_lengths(
+                    np.asarray(freqs, np.int64)[None], np.array([0, n]), limit
+                )
+                return out[0].astype(np.int64)
+        except Exception as e:
+            from ..io.native import warn_once
+
+            warn_once("vp8l_huffman_lengths", e)
 
     heap = [(int(freqs[i]), int(i)) for i in used]
     heapq.heapify(heap)
@@ -265,17 +273,20 @@ def _length_to_symbol(run: np.ndarray):
 
 # -- main entry --------------------------------------------------------------
 
-def _cache_hits(packed: np.ndarray, bits: int):
+def _cache_hits(packed: np.ndarray, bits: int, allow_native: bool = True):
     """Exact color-cache hit mask: pixel i hits iff the most recent earlier
     pixel in its hash bucket holds the same value (every decoded pixel is
     inserted, so the bucket's last writer before i decides)."""
-    try:
-        from ..io import native
+    if allow_native:
+        try:
+            from ..io import native
 
-        if native.available():
-            return native.vp8l_cache_hits(packed.astype(np.uint32), bits)
-    except Exception:
-        pass
+            if native.available():
+                return native.vp8l_cache_hits(packed.astype(np.uint32), bits)
+        except Exception as e:
+            from ..io.native import warn_once
+
+            warn_once("vp8l_cache_hits", e)
     h = ((0x1E35A7BD * packed.astype(np.uint64)) & 0xFFFFFFFF) >> (32 - bits)
     h = h.astype(np.int64)
     n = len(packed)
@@ -509,7 +520,8 @@ _PRED_COST_LUT = np.log2(1.0 + np.arange(129))
 _PRED_COST_LUT32 = np.round(_PRED_COST_LUT * 32.0).astype(np.uint8)
 
 
-def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits=None):
+def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits=None,
+                     allow_native: bool = True):
     """Choose the best of the 14 VP8L predictors per block, AND the block
     size itself: the per-pixel cost map is shared, so pooling it at each
     candidate size_bits and adding a mode-image entropy estimate picks the
@@ -525,16 +537,19 @@ def _pick_predictors(u: np.ndarray, w: int, h: int, size_bits=None):
     if size_bits is None:
         # 4-px tiles win consistently on real content (see note below).
         size_bits = 2
-    try:
-        from ..io import native
+    if allow_native:
+        try:
+            from ..io import native
 
-        if native.available():
-            modes, res = native.vp8l_pick_predictors(
-                u.astype(np.uint8), w, h, size_bits, _PRED_COST_LUT32
-            )
-            return size_bits, modes, res.astype(np.int64)
-    except Exception:
-        pass
+            if native.available():
+                modes, res = native.vp8l_pick_predictors(
+                    u.astype(np.uint8), w, h, size_bits, _PRED_COST_LUT32
+                )
+                return size_bits, modes, res.astype(np.int64)
+        except Exception as e:
+            from ..io.native import warn_once
+
+            warn_once("vp8l_pick_predictors", e)
     u = u.astype(np.int16)
     L = np.zeros_like(u)
     L[:, 1:] = u[:, :-1]
@@ -876,8 +891,10 @@ def _meta_cluster(lit_pos, lit_g_sym, lit_miss, lit_r, lit_b, lit_a,
                     cl[single, s:e] = 0.0
                 cl[gh == 0] = 15.0
                 return cl
-        except Exception:
-            pass
+        except Exception as e:
+            from ..io.native import warn_once
+
+            warn_once("vp8l_huffman_lengths(group)", e)
         cl = np.zeros((K, A), np.float64)
         for k in range(K):
             for s, e in zip(offs[:-1], offs[1:]):

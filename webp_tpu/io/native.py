@@ -123,6 +123,25 @@ def available() -> bool:
         return False
 
 
+_warned: set = set()
+
+
+def warn_once(name: str, exc: BaseException) -> None:
+    """Log the first failure of a native fast path (then stay quiet).
+
+    Callers that fall back to the Python implementation on a raised native
+    call should report it once instead of swallowing it silently — a native
+    path erroring on every call is a build/ABI problem worth surfacing
+    (ADVICE r3)."""
+    if name not in _warned:
+        _warned.add(name)
+        import logging
+
+        logging.getLogger("webp_tpu.native").warning(
+            "native %s raised %r; using python fallback", name, exc
+        )
+
+
 def _p(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 

@@ -108,6 +108,10 @@ def ms_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
         vals.append((max(lum, 1e-6), max(cs, 1e-6), wgt))
         if i + 1 < len(_MSSSIM_WEIGHTS):
             a, b = _downsample2(a), _downsample2(b)
+    if not vals:
+        # Image too small for even one 11-tap scale: fall back to single-scale
+        # SSIM rather than returning a vacuous perfect score (ADVICE r3).
+        return ssim(a, b, data_range)
     wsum = sum(w for _, _, w in vals)
     score = 1.0
     for j, (lum, cs, wgt) in enumerate(vals):

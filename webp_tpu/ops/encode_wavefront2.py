@@ -1009,23 +1009,14 @@ def encode_analysis_batch_v2(
 N_ESC = 4  # escape slots per MB (levels outside int8 range are rare)
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
-def encode_analysis_batch_v2_packed(
-    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
-    do_trellis: bool = False, segment_ids=None,
+def _prepack_body(
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int,
+    n_try: int, do_trellis: bool, segment_ids,
 ):
-    """Analysis with device-side packing for the narrow host tunnel.
+    """Analysis + int8 clip + escape extraction (NO sparse pack).
 
-    Levels ship sparse — a nonzero bitmap plus the nonzero int8 values in
-    slot order (ops/sparse.py wire format: 50 + 128 bytes/MB vs 400 dense;
-    measured density is ~93 nonzeros/MB at Q75 m4) — plus up to N_ESC per-MB
-    escape (position, int16 value) pairs for |level| > 127.  `sp_over[b]`
-    flags an image whose nonzero count exceeded the sparse budget: the
-    caller fetches that image's row of the dense int8 array instead (it is
-    returned device-resident and costs nothing unless fetched).
-    `overflow[b]` flags an image whose escapes didn't fit (the caller falls
-    back to the plain int16 variant — compiled lazily, essentially never).
-    """
+    Returns (lv8 [B,nmb,400] int8, meta8 [B,nmb,18] uint8,
+    esc_pos/esc_val [B,nmb,N_ESC] int16, overflow [B] bool)."""
     out = encode_analysis_batch_v2.__wrapped__(
         ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try,
         do_trellis, segment_ids,
@@ -1062,17 +1053,97 @@ def encode_analysis_batch_v2_packed(
     )  # [B, nmb, 18] uint8
     esc_pos = jnp.stack(pos_list, axis=-1)  # [B, nmb, N_ESC] int16
     esc_val = jnp.stack(val_list, axis=-1)
-
-    from .sparse import cap_for, device_pack_levels
-
-    nmb = mbw * mbh
-    bitmap, vals, sp_over = device_pack_levels(
-        lv8.reshape(-1, nmb * 400), cap_for(nmb)
-    )
-    return lv8, bitmap, vals, sp_over, meta8, esc_pos, esc_val, overflow
+    return lv8, meta8, esc_pos, esc_val, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
+def _prepack_batch(
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int,
+    n_try: int, do_trellis: bool = False, segment_ids=None,
+):
+    return _prepack_body(
+        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try,
+        do_trellis, segment_ids,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "n_try", "do_trellis"))
+def _prepack_batch_pertbl(
+    ybufs, ubufs, vbufs, params_tree, tables_batched, mbw: int, mbh: int,
+    n_try: int, do_trellis: bool = False, segment_ids=None,
+):
+    if segment_ids is None:
+        def one(y, u, v, tbl):
+            return _prepack_body(
+                y[None], u[None], v[None], params_tree, tbl, mbw, mbh, n_try,
+                do_trellis, None,
+            )
+
+        outs = jax.vmap(one)(ybufs, ubufs, vbufs, tables_batched)
+    else:
+        def one(y, u, v, tbl, p1, sid):
+            return _prepack_body(
+                y[None], u[None], v[None], p1, tbl, mbw, mbh, n_try,
+                do_trellis, sid[None],
+            )
+
+        outs = jax.vmap(one)(
+            ybufs, ubufs, vbufs, tables_batched, params_tree, segment_ids
+        )
+    return tuple(a[:, 0] for a in outs)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_mb",))
+def _pack_levels_stage(lv8, cap_mb: int):
+    from .sparse import device_pack_levels_mb
+
+    return device_pack_levels_mb(lv8, cap_mb)
+
+
+CAP_MB = 128  # nonzero budget per MB (same wire bytes as the old image cap)
+
+
+def _pack_stage(lv8, meta8, esc_pos, esc_val, overflow, nmb: int):
+    """Second jit stage: sparse-pack the materialized levels.
+
+    Kept a separate jit from the analysis so the pack reads the
+    materialized lv8 instead of being fused back into (and re-running parts
+    of) the analysis producer.  The pack itself is the per-MB one-hot
+    matmul of ops/sparse.py:device_pack_levels_mb — the image-wide
+    searchsorted compaction it replaces cost 48.75 ms/img on v5e (its
+    ~200k binary-search gathers per image are TPU-hostile; round 3's
+    "fusion pathology" diagnosis mis-attributed that cost to XLA
+    recomputation).
+    """
+    bitmap, vals, sp_over = _pack_levels_stage(lv8, CAP_MB)
+    return lv8, bitmap, vals, sp_over, meta8, esc_pos, esc_val, overflow
+
+
+def encode_analysis_batch_v2_packed(
+    ybufs, ubufs, vbufs, params_tree, tables_tree, mbw: int, mbh: int, n_try: int,
+    do_trellis: bool = False, segment_ids=None,
+):
+    """Analysis with device-side packing for the narrow host tunnel.
+
+    Levels ship sparse — a nonzero bitmap plus the nonzero int8 values in
+    slot order (ops/sparse.py wire format: 50 + 128 bytes/MB vs 400 dense;
+    measured density is ~93 nonzeros/MB at Q75 m4) — plus up to N_ESC per-MB
+    escape (position, int16 value) pairs for |level| > 127.  `sp_over[b]`
+    flags an image whose nonzero count exceeded the sparse budget: the
+    caller fetches that image's row of the dense int8 array instead (it is
+    returned device-resident and costs nothing unless fetched).
+    `overflow[b]` flags an image whose escapes didn't fit (the caller falls
+    back to the plain int16 variant — compiled lazily, essentially never).
+
+    Two chained jit dispatches, not one — see _pack_stage for why.
+    """
+    pre = _prepack_batch(
+        ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try,
+        do_trellis, segment_ids,
+    )
+    return _pack_stage(*pre, mbw * mbh)
+
+
 def encode_analysis_batch_v2_pertbl_packed(
     ybufs, ubufs, vbufs, params_tree, tables_batched, mbw: int, mbh: int,
     n_try: int, do_trellis: bool = False, segment_ids=None,
@@ -1082,27 +1153,13 @@ def encode_analysis_batch_v2_pertbl_packed(
 
     tables_batched: an EncTables pytree whose leaves carry a leading [B]
     image axis (stack per-image EncTables with jax.tree_util.tree_map).
+    Two chained jit dispatches, not one — see _pack_stage for why.
     """
-
-    if segment_ids is None:
-        def one(y, u, v, tbl):
-            return encode_analysis_batch_v2_packed.__wrapped__(
-                y[None], u[None], v[None], params_tree, tbl, mbw, mbh, n_try,
-                do_trellis,
-            )
-
-        outs = jax.vmap(one)(ybufs, ubufs, vbufs, tables_batched)
-    else:
-        def one(y, u, v, tbl, p1, sid):
-            return encode_analysis_batch_v2_packed.__wrapped__(
-                y[None], u[None], v[None], p1, tbl, mbw, mbh, n_try,
-                do_trellis, sid[None],
-            )
-
-        outs = jax.vmap(one)(
-            ybufs, ubufs, vbufs, tables_batched, params_tree, segment_ids
-        )
-    return tuple(a[:, 0] for a in outs)
+    pre = _prepack_batch_pertbl(
+        ybufs, ubufs, vbufs, params_tree, tables_batched, mbw, mbh, n_try,
+        do_trellis, segment_ids,
+    )
+    return _pack_stage(*pre, mbw * mbh)
 
 
 @functools.partial(
@@ -1303,11 +1360,12 @@ def encode_analysis_stats_batch(
 
 def unpack_analysis_sparse(bitmap, vals, meta8, esc_pos, esc_val):
     """Host-side unpack of the SPARSE transfer -> the plain arrays dict
-    for ONE image (numpy inputs; bitmap [nmb*50] uint8, vals [cap] int8)."""
-    from .sparse import host_expand_levels
+    for ONE image (numpy inputs; bitmap [nmb*50] uint8, vals [nmb, CAP_MB]
+    int8 in the per-MB wire format of device_pack_levels_mb)."""
+    from .sparse import host_expand_levels_mb
 
     nmb = meta8.shape[0]
-    lv8 = host_expand_levels(bitmap, vals, nmb * 400).reshape(nmb, 400)
+    lv8 = host_expand_levels_mb(bitmap, vals, nmb, 400)
     return unpack_analysis(lv8, meta8, esc_pos, esc_val)
 
 

@@ -44,6 +44,11 @@ def device_pack_levels(flat_i8, cap: int):
 
     Gather-only compaction: vals[k] = flat[searchsorted(cumsum(mask), k+1)],
     i.e. the position of the (k+1)-th nonzero. No scatter (TPU-unfriendly).
+
+    NOTE: measured 48.75 ms/img on v5e at bench geometry (the ~200k-key
+    binary-search gathers per image don't vectorize) — the production encode
+    path uses device_pack_levels_mb instead.  Kept for the decode-direction
+    wire format and small shapes.
     """
     B, N = flat_i8.shape
     assert N % 8 == 0
@@ -63,6 +68,43 @@ def device_pack_levels(flat_i8, cap: int):
     vals = jax.vmap(one)(cs, flat_i8)
     overflow = cs[:, -1] > cap
     return bitmap, vals, overflow
+
+
+def device_pack_levels_mb(lv8, cap_mb: int):
+    """[B, nmb, S] int8 -> (bitmap uint8 [B, nmb*S/8], vals int8
+    [B, nmb, cap_mb], overflow [B]).  TPU-native compaction.
+
+    Per-MB one-hot-matmul compaction instead of image-wide searchsorted:
+    vals[m, k] = sum_j lv[m, j] * 1[cumsum(mask)[m, j] == k+1] — the sum
+    picks exactly the (k+1)-th nonzero because lv is zero everywhere the
+    one-hot collides with a zero slot.  The contraction is an [S, cap_mb]
+    matmul per MB that rides the MXU (~5 GFLOP/batch at bench geometry,
+    sub-ms) versus ~200k serial binary-search gathers for the flat pack
+    (48.75 ms/img measured).  f32 accumulation is exact: levels are int8
+    and S <= 400 so every partial sum stays far below 2^24.
+
+    overflow[b] is set when ANY MB in image b has more than cap_mb
+    nonzeros (caller falls back to fetching that image's dense row).
+    """
+    B, nmb, S = lv8.shape
+    assert (nmb * S) % 8 == 0
+    mask = lv8 != 0
+    m8 = mask.reshape(B, (nmb * S) // 8, 8)
+    weights = jnp.array([1 << s for s in _BIT_SHIFTS], jnp.int32)
+    bitmap = (m8.astype(jnp.int32) * weights).sum(-1).astype(jnp.uint8)
+
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # [B, nmb, S]
+    onehot = (cs[..., None] == jnp.arange(1, cap_mb + 1, dtype=jnp.int32)).astype(
+        jnp.float32
+    )  # [B, nmb, S, cap_mb], fused tile-wise into the matmul below
+    vals = jnp.einsum(
+        "bmj,bmjk->bmk",
+        lv8.astype(jnp.float32),
+        onehot,
+        preferred_element_type=jnp.float32,
+    )
+    overflow = (cs[..., -1] > cap_mb).any(-1)
+    return bitmap, vals.astype(jnp.int8), overflow
 
 
 def device_expand_levels(bitmap, vals, n: int):
@@ -101,4 +143,20 @@ def host_expand_levels(bitmap: np.ndarray, vals: np.ndarray, n: int) -> np.ndarr
     out = np.zeros(n, np.int8)
     idx = np.nonzero(bits)[0]
     out[idx] = vals[: len(idx)]
+    return out
+
+
+def host_expand_levels_mb(bitmap: np.ndarray, vals: np.ndarray, nmb: int,
+                          S: int) -> np.ndarray:
+    """(bitmap uint8 [nmb*S/8], vals int8 [nmb, cap_mb]) -> dense [nmb, S].
+
+    Inverse of device_pack_levels_mb: each MB's nonzeros sit in ITS row of
+    vals in slot order (zero-padded), not packed across the whole image.
+    """
+    bits = np.unpackbits(bitmap)[: nmb * S].reshape(nmb, S)
+    out = np.zeros((nmb, S), np.int8)
+    mb_idx, slot_idx = np.nonzero(bits)
+    # rank of each nonzero within its MB row = its column in vals
+    within = np.cumsum(bits, axis=1) - 1
+    out[mb_idx, slot_idx] = vals[mb_idx, within[mb_idx, slot_idx]]
     return out
