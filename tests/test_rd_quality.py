@@ -62,13 +62,14 @@ def test_equal_size_psnr_floor(rd_points):
     assert deltas, "no overlapping rate range"
     # Floor: reference-family parity. The reference itself is 0.3-0.9 dB
     # behind libwebp at equal size above Q75 and ~4.5% larger at Q75
-    # (SURVEY §6 / its FILE_SIZE_INVESTIGATION). Round-3 level after the
-    # SNS-direction fix: mean -0.37 dB over Q55-Q90 matched sizes on this
-    # fixture (was -0.78 in round 2); the residual gap concentrates at Q90.
-    # These are regression guardrails at today's level — libwebp's CI floor
-    # for the reference is far looser (PSNR >= 80%).
-    assert np.mean(deltas) > -0.55, deltas
-    assert min(deltas) > -1.0, deltas
+    # (SURVEY §6 / its FILE_SIZE_INVESTIGATION). Round-4 level after
+    # per-segment loop-filter strengths + chroma quant deltas (NOTES r4):
+    # mean -0.07 over these qualities on this fixture (round 3: -0.37,
+    # round 2: -0.78); the residual gap concentrates at Q90+.  These are
+    # regression guardrails at today's level — libwebp's CI floor for the
+    # reference is far looser (PSNR >= 80%).
+    assert np.mean(deltas) > -0.15, deltas
+    assert min(deltas) > -0.6, deltas
 
 
 def test_equal_size_dssim_ratio(rd_points):

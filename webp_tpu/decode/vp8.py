@@ -89,8 +89,18 @@ class Vp8Decoder:
         self._loop_filter(frame)
         return frame
 
-    def parse(self, allow_native: bool = True) -> None:
-        """Header + entropy pass, via the C++ hot loop when available."""
+    def parse(self, allow_native: bool = True, debug_levels: bool = False) -> None:
+        """Header + entropy pass, via the C++ hot loop when available.
+
+        debug_levels=True (python path only) additionally records the RAW
+        quantized levels UNFOLDED in `self.levels` [nmb, 25, 16] int32 —
+        blocks 0-15 Y (DC slot 0 empty when the MB has Y2), 16-19 U,
+        20-23 V, 24 the Y2 block itself (pre-IWHT) — for encoder-parity
+        diffing against another encoder's bitstream (`self.coeffs` folds
+        Y2 into the Y DCs and bakes in the dequant factors)."""
+        self._debug_levels = debug_levels
+        if debug_levels:
+            allow_native = False
         if allow_native:
             try:
                 from ..io import native
@@ -215,6 +225,11 @@ class Vp8Decoder:
         y2ac_d = b.get_optional_signed(4)
         uvdc_d = b.get_optional_signed(4)
         uvac_d = b.get_optional_signed(4)
+        # exact header fields, kept for encoder-parity tooling
+        self.yac_abs = yac_abs
+        self.quant_deltas = dict(
+            ydc=ydc_d, y2dc=y2dc_d, y2ac=y2ac_d, uvdc=uvdc_d, uvac=uvac_d
+        )
 
         def dcq(i):
             return int(T.DC_QUANT[min(max(i, 0), 127)])
@@ -262,6 +277,8 @@ class Vp8Decoder:
         # 24 blocks: 16 Y + 4 U + 4 V; Y2 folded into Y DCs during this pass.
         self.coeffs = np.zeros((nmb, 24, 16), np.int32)
         self.has_ac = np.zeros((nmb, 24), bool)
+        if getattr(self, "_debug_levels", False):
+            self.levels = np.zeros((nmb, 25, 16), np.int32)
 
         # Probability tables indexed [plane][position band][ctx] as flat lists
         # for the hot loop.
@@ -336,11 +353,13 @@ class Vp8Decoder:
         seg = self.segments[self.segment_ids[i]]
         coeffs = self.coeffs[i]
         has_y2 = self.luma_mode[i] != 4
+        raw = self.levels[i] if getattr(self, "_debug_levels", False) else None
 
         if has_y2:
             ctx = int(top_c[mbx, 0] + left_c[0])
             y2 = np.zeros(16, np.int64)
-            n = self._read_coeffs(y2, part, PLANE_Y2, ctx, seg.y2dc, seg.y2ac, 0)
+            n = self._read_coeffs(y2, part, PLANE_Y2, ctx, seg.y2dc, seg.y2ac, 0,
+                                  raw=None if raw is None else raw[24])
             left_c[0] = top_c[mbx, 0] = 1 if n else 0
             y2r = tx.iwht4x4(y2[None, :])[0]
             coeffs[:16, 0] = y2r
@@ -357,7 +376,8 @@ class Vp8Decoder:
                 bi = x + y * 4
                 ctx = int(top_c[mbx, x + 1]) + left
                 blk = np.zeros(16, np.int64)
-                n = self._read_coeffs(blk, part, plane, ctx, seg.ydc, seg.yac, first)
+                n = self._read_coeffs(blk, part, plane, ctx, seg.ydc, seg.yac, first,
+                                      raw=None if raw is None else raw[bi])
                 if has_y2:
                     blk[0] = coeffs[bi, 0]
                 coeffs[bi] = blk
@@ -375,7 +395,8 @@ class Vp8Decoder:
                     bi = base + x + y * 2
                     ctx = int(top_c[mbx, x + j]) + left
                     blk = np.zeros(16, np.int64)
-                    n = self._read_coeffs(blk, part, PLANE_CHROMA, ctx, seg.uvdc, seg.uvac, 0)
+                    n = self._read_coeffs(blk, part, PLANE_CHROMA, ctx, seg.uvdc, seg.uvac, 0,
+                                          raw=None if raw is None else raw[bi])
                     coeffs[bi] = blk
                     self.has_ac[i, bi] = n
                     if blk[0] != 0 or n:
@@ -385,8 +406,12 @@ class Vp8Decoder:
                 left_c[y + j] = left
         self.non_zero_dct[i] = nz
 
-    def _read_coeffs(self, block, part, plane, ctx, dcq, acq, first):
-        """Token-tree coefficient read (RFC 6386 §13.3); returns AC-present."""
+    def _read_coeffs(self, block, part, plane, ctx, dcq, acq, first, raw=None):
+        """Token-tree coefficient read (RFC 6386 §13.3); returns AC-present.
+
+        `raw` (debug_levels mode): 16-slot int32 view that additionally
+        receives the pre-dequant signed levels in natural (un-zigzagged)
+        slot order."""
         probs_plane = self._probs_by_pos[plane]
         get_bit = part.get_bit
         zigzag = T.ZIGZAG
@@ -430,6 +455,8 @@ class Vp8Decoder:
             if get_bit(128):
                 v = -v
             zz = int(zigzag[n])
+            if raw is not None:
+                raw[zz] = v
             block[zz] = v * (acq if zz > 0 else dcq)
             n += 1
             if n < 16:

@@ -47,11 +47,18 @@ def _bias(b: int) -> int:
 FSTRENGTH_CUTOFF = 2
 
 
-def compute_filter_level(quant_index: int, sharpness: int = 0, strength: int = 50) -> int:
+def compute_filter_level(quant_index: int, sharpness: int = 0, strength: int = 60,
+                         beta: int = 0) -> int:
+    """Loop-filter strength from the quantizer (libwebp filter_enc.c
+    VP8SetupFilterStrength): base strength from the AC step, scaled by
+    5*filter_strength (config default 60) and divided by (256 + beta)
+    where beta is the segment's complexity in [0, 255] — busier segments
+    get weaker filtering; below the cutoff the segment is not filtered at
+    all (libwebp emits 0 for its finest segment at high quality)."""
     level0 = 5 * strength
     qstep = int(ET.VP8_AC_TABLE[quant_index]) >> 2
     base = int(ET.LEVELS_FROM_DELTA[min(sharpness, 7), min(qstep, 63)])
-    f = (base * level0) // 256
+    f = (base * level0) // (256 + beta)
     if f < FSTRENGTH_CUTOFF:
         return 0
     return min(f, 63)
@@ -104,16 +111,18 @@ class SegmentParams:
     """Quantizers, matrices, and RD lambdas for one segment."""
 
     def __init__(self, quant_index: int, quantizer_delta: int = 0,
-                 uv_ac_delta: int = 0):
+                 uv_ac_delta: int = 0, uv_dc_delta: int = None):
         qi = min(max(quant_index + quantizer_delta, 0), 127)
         self.quant_index = qi
         self.quantizer_level = quantizer_delta
         self.uv_ac_delta = uv_ac_delta
+        self.uv_dc_delta = DQ_UV_DC if uv_dc_delta is None else uv_dc_delta
+        self.lf_level = None  # per-segment loop-filter strength (setup_segments)
         self.ydc = int(T.DC_QUANT[qi])
         self.yac = int(T.AC_QUANT[qi])
         self.y2dc = int(T.DC_QUANT[qi]) * 2
         self.y2ac = max(int(T.AC_QUANT[qi]) * 155 // 100, 8)
-        uvdc_i = min(max(qi + DQ_UV_DC, 0), 127)
+        uvdc_i = min(max(qi + self.uv_dc_delta, 0), 127)
         uvac_i = min(max(qi + uv_ac_delta, 0), 127)
         # Clamped to 132 to stay consistent with decoder dequantization.
         self.uvdc = min(int(T.DC_QUANT[uvdc_i]), 132)

@@ -30,8 +30,12 @@ from .quant import (SegmentParams, quality_to_quant_index, compute_filter_level,
 ZZ = T.ZIGZAG  # zigzag position -> raster index
 
 # Content-adaptive chroma-AC quantization from uv_alpha (libwebp dq_uv_ac);
-# see setup_segments.  Overridable for A/B via env.
-ADAPTIVE_UV_AC = os.environ.get("WEBP_TPU_ADAPTIVE_UV_AC", "0") == "1"
+# see setup_segments.  Default ON since round 4: the derived delta matches
+# libwebp's emitted uvac_delta exactly on all 5 gallery1 images (round-2's
+# "measured worse" verdict was under the inverted SNS formula), and the
+# missing delta was half of the replay-isolated chroma gap (NOTES r4).
+# Overridable for A/B via env.
+ADAPTIVE_UV_AC = os.environ.get("WEBP_TPU_ADAPTIVE_UV_AC", "1") == "1"
 # Trellis at method>=4 (reference gate); WEBP_TPU_NO_TRELLIS=1 disables for
 # A/B against libwebp's m4 (= RD_OPT_BASIC, no trellis).
 TRELLIS_ENABLED = os.environ.get("WEBP_TPU_NO_TRELLIS", "0") != "1"
@@ -874,6 +878,16 @@ class Vp8Encoder:
 
         hw.write_literal(1, 0)  # color space
         hw.write_literal(1, 0)  # pixel type (clamping)
+        # Per-segment loop-filter strengths (libwebp parity): the header's
+        # base level is segment 0's strength and the others ride as deltas.
+        seg_lf = (
+            [s.lf_level for s in self.segments_list]
+            if self.segments_enabled and
+            all(s.lf_level is not None for s in self.segments_list)
+            else None
+        )
+        if seg_lf is not None:
+            self.filter_level = int(seg_lf[0])
         hw.write_flag(self.segments_enabled)
         if self.segments_enabled:
             hw.write_flag(self.segments_update_map)
@@ -882,8 +896,12 @@ class Vp8Encoder:
             for seg in self.segments_list:
                 d = int(seg.quantizer_level)
                 hw.write_optional_signed(7, d, present=d != 0)
-            for _ in range(4):
-                hw.write_flag(False)  # no per-segment loop filter deltas
+            for lf in (seg_lf if seg_lf is not None else [None] * 4):
+                if lf is None:
+                    hw.write_flag(False)  # no per-segment loop filter delta
+                else:
+                    d = int(lf) - int(self.filter_level)
+                    hw.write_optional_signed(6, d, present=d != 0)
             if self.segments_update_map:
                 for p in self.seg_tree_probs:
                     if p != 255:
@@ -898,17 +916,16 @@ class Vp8Encoder:
         hw.write_literal(2, self.num_partitions.bit_length() - 1)
 
         # Quantizer indices: ydc/y2dc/y2ac deltas zero; uvdc carries the
-        # global chroma-DC boost (quant.DQ_UV_DC), uvac the content-adaptive
-        # chroma susceptibility delta (setup_segments / libwebp's dq_uv_ac).
-        from .quant import DQ_UV_DC
-
-        uvac_d = (
-            self.segments_list[0] if self.segments_enabled else self.seg
-        ).uv_ac_delta
+        # global chroma-DC boost (quant.DQ_UV_DC unless overridden per
+        # segment params), uvac the content-adaptive chroma susceptibility
+        # delta (setup_segments / libwebp's dq_uv_ac).
+        lead = self.segments_list[0] if self.segments_enabled else self.seg
+        uvac_d = lead.uv_ac_delta
+        uvdc_d = lead.uv_dc_delta
         hw.write_literal(7, self.quant_index)
         for _ in range(3):
             hw.write_flag(False)
-        hw.write_optional_signed(4, DQ_UV_DC, present=DQ_UV_DC != 0)
+        hw.write_optional_signed(4, uvdc_d, present=uvdc_d != 0)
         hw.write_optional_signed(4, uvac_d, present=uvac_d != 0)
 
         hw.write_literal(1, 0)  # refresh entropy probs
@@ -1081,9 +1098,13 @@ def setup_segments(ybuf, ubuf, vbuf, mbw, mbh, base_qi, base_seg):
     for c in centers:
         t_alpha = min(max(255 * (int(c) - mid) // rng, -127), 127)
         seg_qi = compute_segment_quant(base_qi, t_alpha)
-        segments_list.append(
-            SegmentParams(base_qi, seg_qi - base_qi, uv_ac_delta=uv_ac_delta)
-        )
+        sp = SegmentParams(base_qi, seg_qi - base_qi, uv_ac_delta=uv_ac_delta)
+        # Per-segment loop-filter strength (libwebp VP8SetupFilterStrength):
+        # beta = segment complexity in [0, 255]; busier segments are
+        # filtered less, and the finest segment often not at all at high Q.
+        beta = min(max(255 * (int(c) - lo) // rng, 0), 255)
+        sp.lf_level = compute_filter_level(sp.quant_index, 0, 60, beta)
+        segments_list.append(sp)
 
     counts = np.bincount(segment_map, minlength=4)
 
@@ -1463,6 +1484,85 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
         return arrays2, probs, None, seg_results
 
     return fetch
+
+
+def probe_stage_times(planes, quality, method, mbw, mbh, segments=True,
+                      seg_results=None, reps=3):
+    """Blocking per-stage device timings of the two-pass encode path for
+    roofline accounting (bench.py).  Re-dispatches the SAME jitted kernels
+    (same shapes/params) the pipelined path uses, so after one pipelined
+    round everything here is warm — no extra compiles.  Returns seconds
+    per batch for p1 stats / p2 analysis (prepack) / sparse pack.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.encode_wavefront import EncParams, EncParamsSegs, EncTables
+    from ..ops.encode_wavefront2 import (
+        CAP_MB,
+        _pack_levels_stage,
+        _prepack_batch_pertbl,
+        enc_tables_from_probs,
+        encode_analysis_stats_batch,
+    )
+    from . import costs as C
+
+    qi = quality_to_quant_index(quality)
+    seg = SegmentParams(qi)
+    n_try = 0 if method <= 1 else (3 if method <= 3 else (4 if method == 4 else 10))
+    n_try1 = min(n_try, 3)
+    Y = jnp.asarray(np.stack([p[0] for p in planes]))
+    U = jnp.asarray(np.stack([p[1] for p in planes]))
+    V = jnp.asarray(np.stack([p[2] for p in planes]))
+    TB = EncTables.default()
+    if segments and mbw * mbh >= 256:
+        if seg_results is None:
+            seg_results = list(
+                _host_pool().map(
+                    lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
+                    planes,
+                )
+            )
+        P = EncParamsSegs.from_segments([r[3] for r in seg_results])
+        sid = jnp.asarray(np.stack([r[2] for r in seg_results]))
+    else:
+        P, sid = EncParams(seg), None
+
+    def best_of(fn):
+        out = fn()
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(reps):
+            t0 = _time.time()
+            out = fn()
+            jax.block_until_ready(out)
+            ts.append(_time.time() - t0)
+        return min(ts), out
+
+    t_p1, stats = best_of(
+        lambda: encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1, sid)
+    )
+    totals, ones = (np.asarray(a).astype(np.int64) for a in stats)
+    default = T.COEFF_PROBS_DEFAULT.copy()
+
+    def probs_for(i):
+        st = C.ProbaStats()
+        st.total += totals[i]
+        st.ones += ones[i]
+        return st.updated_probs(default)
+
+    probs = list(_host_pool().map(probs_for, range(len(planes))))
+    tables = enc_tables_from_probs(jnp.asarray(np.stack(probs)))
+    t_p2, pre = best_of(
+        lambda: _prepack_batch_pertbl(
+            Y, U, V, P, tables, mbw, mbh, n_try, method >= 4, sid
+        )
+    )
+    lv8 = pre[0]
+    t_pack, _ = best_of(lambda: _pack_levels_stage(lv8, CAP_MB))
+    return {"p1_s": t_p1, "p2_s": t_p2, "pack_s": t_pack}
 
 
 def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,

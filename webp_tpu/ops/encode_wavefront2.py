@@ -1100,7 +1100,13 @@ def _pack_levels_stage(lv8, cap_mb: int):
     return device_pack_levels_mb(lv8, cap_mb)
 
 
-CAP_MB = 128  # nonzero budget per MB (same wire bytes as the old image cap)
+# Per-MB nonzero budget.  The old image-level cap (128/MB POOLED across the
+# image) rode out local density spikes; a per-MB cap cannot, and the mixed
+# gallery1 bench corpus measures per-MB nonzeros up to 234/400 at Q75 m4
+# (27% of MBs exceed 128).  256 covers the observed max with margin; wire
+# cost is 256 + 50 bytes/MB (vs 400 dense) and the pipelined fetch hides
+# under device compute of the next batch.
+CAP_MB = 256
 
 
 def _pack_stage(lv8, meta8, esc_pos, esc_val, overflow, nmb: int):

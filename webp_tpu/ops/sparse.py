@@ -153,10 +153,18 @@ def host_expand_levels_mb(bitmap: np.ndarray, vals: np.ndarray, nmb: int,
     Inverse of device_pack_levels_mb: each MB's nonzeros sit in ITS row of
     vals in slot order (zero-padded), not packed across the whole image.
     """
-    bits = np.unpackbits(bitmap)[: nmb * S].reshape(nmb, S)
-    out = np.zeros((nmb, S), np.int8)
-    mb_idx, slot_idx = np.nonzero(bits)
-    # rank of each nonzero within its MB row = its column in vals
-    within = np.cumsum(bits, axis=1) - 1
-    out[mb_idx, slot_idx] = vals[mb_idx, within[mb_idx, slot_idx]]
-    return out
+    cap_mb = vals.shape[1]
+    flat_bits = np.unpackbits(bitmap)[: nmb * S]
+    flat_idx = np.flatnonzero(flat_bits)  # sorted, so grouped by MB
+    mb_idx = flat_idx // S
+    counts = np.bincount(mb_idx, minlength=nmb)
+    if counts.max(initial=0) > cap_mb:
+        # device_pack_levels_mb flagged this image via `overflow`; callers
+        # must fetch the dense row instead of expanding a truncated pack.
+        raise ValueError("per-MB nonzero count exceeds the sparse cap")
+    # within-row rank of each nonzero = its column in vals
+    row_start = np.concatenate([[0], np.cumsum(counts[:-1])])
+    ranks = np.arange(len(flat_idx)) - row_start[mb_idx]
+    out = np.zeros(nmb * S, np.int8)
+    out[flat_idx] = vals.reshape(-1)[mb_idx * cap_mb + ranks]
+    return out.reshape(nmb, S)
