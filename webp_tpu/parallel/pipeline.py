@@ -195,6 +195,47 @@ def make_encode_analysis_sharded(mesh, mbw: int, mbh: int, n_try: int,
     return step
 
 
+def make_encode_twopass_sharded(mesh, mbw: int, mbh: int, n_try1: int,
+                                n_try: int, do_trellis: bool):
+    """Data-parallel FLAGSHIP two-pass encode kernels over the `data` axis:
+    pass-1 stats and pass-2 prepack, both with per-image segment params /
+    segment maps / adapted cost tables (the bench configuration, not the
+    simplified single-pass one).  The host half (probability adaptation,
+    contexts, entropy) is unchanged — __graft_entry__ asserts the finished
+    payloads are byte-equal to the unsharded flow.
+    """
+    from ..ops.encode_wavefront2 import (
+        _prepack_batch_pertbl,
+        encode_analysis_stats_batch,
+    )
+
+    def stats_step(Y, U, V, params_tree, tables_tree, sid):
+        run = shard_map(
+            lambda y, u, v, p, s: encode_analysis_stats_batch.__wrapped__(
+                y, u, v, p, tables_tree, mbw, mbh, n_try1, s
+            ),
+            mesh=mesh,
+            in_specs=(P("data"),) * 5,
+            out_specs=(P("data"), P("data")),
+            check_rep=False,
+        )
+        return jax.jit(run)(Y, U, V, params_tree, sid)
+
+    def prepack_step(Y, U, V, params_tree, tables_batched, sid):
+        run = shard_map(
+            lambda y, u, v, p, t, s: _prepack_batch_pertbl.__wrapped__(
+                y, u, v, p, t, mbw, mbh, n_try, do_trellis, s
+            ),
+            mesh=mesh,
+            in_specs=(P("data"),) * 6,
+            out_specs=(P("data"),) * 5,
+            check_rep=False,
+        )
+        return jax.jit(run)(Y, U, V, params_tree, tables_batched, sid)
+
+    return stats_step, prepack_step
+
+
 def make_encode_tokens_sharded(mesh, mbw: int, mbh: int, nparts: int,
                                max_ops: int, max_bytes: int):
     """Data-parallel device token coding + bitstream all_gather.
