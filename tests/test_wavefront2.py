@@ -111,28 +111,9 @@ def test_normal_filter_v2_matches_v1():
         assert np.array_equal(np.asarray(a), np.asarray(b[0]))
 
 
-def test_pallas_decode_interpret_matches_scan():
-    """Pallas kernels (interpret mode) == scan drivers on one real image."""
-    from webp_tpu.ops.pallas.decode_wavefront import decode_planes_pallas
-
-    d = _parse("/root/reference/tests/images/gallery1/2.webp")
-    residuals = _residuals(d)
-    lm, bp, cm = (
-        jnp.asarray(d.luma_mode), jnp.asarray(d.bpred), jnp.asarray(d.chroma_mode)
-    )
-    level, interior, hev, ds = _filter_args(d)
-    simple = bool(d.filter_type)
-
-    y0, u0, v0 = reconstruct_frame(residuals, lm, bp, cm, d.mbw, d.mbh)
-    f0 = loop_filter_frame(
-        y0, u0, v0, jnp.asarray(level), jnp.asarray(interior), jnp.asarray(hev),
-        jnp.asarray(ds), d.mbw, d.mbh, simple,
-    )
-    py, pu, pv = decode_planes_pallas(
-        residuals[None], lm[None], bp[None], cm[None],
-        jnp.asarray(level)[None], jnp.asarray(interior)[None],
-        jnp.asarray(hev)[None], jnp.asarray(ds)[None],
-        d.mbw, d.mbh, simple, interpret=True,
-    )
-    for a, b in zip(f0, (py, pu, pv)):
-        assert np.array_equal(np.asarray(a), np.asarray(b[0]))
+# (The round 1-3 Pallas wavefront kernels were retired in round 4: after
+# clearing the blocking lane->sublane reshapes, Mosaic still rejects the
+# kernel's lane-offset-misaligned concatenates — the whole 16-lane-granular
+# wavefront layout conflicts with the 128-lane vector model and needs a
+# ground-up relayout to lower.  NOTES.md records the specifics; the scan
+# drivers below are the production path.)

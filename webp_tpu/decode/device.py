@@ -22,9 +22,8 @@ from ..ops.jax_loopfilter import loop_filter_frame
 from ..ops.wavefront import reconstruct_frame
 
 # v2 lane-aligned wavefront backends. "scan" (the production default, see
-# _decode_backend) runs the recon+filter wavefronts as lax.scan drivers;
-# "pallas" runs them as two Pallas kernels with VMEM-resident state.
-# WEBP_TPU_DECODE_BACKEND overrides: pallas|scan|v1.
+# _decode_backend) runs the recon+filter wavefronts as lax.scan drivers.
+# WEBP_TPU_DECODE_BACKEND overrides: scan|v1.
 from ..ops.loopfilter2 import loop_filter_frames_v2
 from ..ops.wavefront2 import decode_frames_fused_v2, reconstruct_frames_v2
 
@@ -33,10 +32,10 @@ def _decode_backend() -> str:
     env = os.environ.get("WEBP_TPU_DECODE_BACKEND")
     if env:
         return env
-    # TODO(pallas): the Pallas wavefront kernels interpret-run bit-exact but
-    # several jnp patterns still hit Mosaic lowering gaps on real TPUs
-    # (trailing-unit reshapes, sublane concats of lane-offset slices); the
-    # scan drivers are the production default until the kernels lower.
+    # The fused lax.scan drivers are the production path.  (A Pallas
+    # wavefront variant was retired in round 4: Mosaic rejects the 16-lane-
+    # granular layout's lane-offset concatenates even after the blocking
+    # reshapes were removed — NOTES.md.)
     return "scan"
 
 
@@ -49,12 +48,8 @@ def _device_decode_batch_v2(
     dc = (coeffs[..., 0:1] + 4) >> 3
     residuals = jnp.where(has_ac[..., None], full, jnp.broadcast_to(dc, full.shape))
     if backend == "pallas":
-        from ..ops.pallas.decode_wavefront import decode_planes_pallas
-
-        y, u, v = decode_planes_pallas(
-            residuals, luma_mode, bpred, chroma_mode,
-            level, interior, hev_t, do_sub, mbw, mbh, simple,
-        )
+        raise ValueError("the Pallas wavefront backend was retired in round 4"
+                         " (Mosaic lane-layout limits; see NOTES.md)")
     else:
         y, u, v = decode_frames_fused_v2(
             residuals, luma_mode, bpred, chroma_mode,
@@ -481,18 +476,10 @@ def _decode_core(
     bp = bpred.astype(jnp.int32)
     cm = chroma_mode.astype(jnp.int32)
 
-    if backend == "pallas":
-        from ..ops.pallas.decode_wavefront import decode_planes_pallas
-
-        y, u, v = decode_planes_pallas(
-            residuals, lm, bp, cm, level, interior, hev_t, do_sub,
-            mbw, mbh, simple,
-        )
-    else:
-        y, u, v = decode_frames_fused_v2(
-            residuals, lm, bp, cm, level, interior, hev_t, do_sub,
-            mbw, mbh, simple
-        )
+    y, u, v = decode_frames_fused_v2(
+        residuals, lm, bp, cm, level, interior, hev_t, do_sub,
+        mbw, mbh, simple
+    )
     return jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)
 
 
