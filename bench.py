@@ -259,9 +259,13 @@ def main():
     # residual warmup and inflated the decode spread to 1.4).
     D.XFER.update(up=0, down=0)
     dec_times = []
+    warm_fut = dec_lane.submit(D.dispatch_decode_batch, payloads)
+    warm_handle = warm_fut.result()
+    # enqueue round 0 BEFORE blocking the warm round so its host parse +
+    # upload overlap the warm round's device execution — otherwise round 0
+    # pays the full ~250 ms parse serially and doubles the decode spread.
     fut = dec_lane.submit(D.dispatch_decode_batch, payloads)
-    fut.result().block_until_ready()
-    fut = dec_lane.submit(D.dispatch_decode_batch, payloads)
+    warm_handle.block_until_ready()
     for r in range(ROUNDS):
         t0 = time.time()
         handle = fut.result()

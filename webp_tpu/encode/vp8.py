@@ -1075,11 +1075,19 @@ def setup_segments(ybuf, ubuf, vbuf, mbw, mbh, base_qi, base_seg):
     nmb = mbw * mbh
     if nmb < 256:
         return False, False, np.zeros(nmb, np.int32), [base_seg] * 4, [255, 255, 255]
-    from .analysis import (
-        analyze_image, assign_segments_kmeans, compute_segment_quant,
-    )
+    from .analysis import analyze_image
 
-    alphas, histogram, uv_alpha = analyze_image(ybuf, ubuf, vbuf, mbw, mbh)
+    alphas, _histogram, uv_alpha = analyze_image(ybuf, ubuf, vbuf, mbw, mbh)
+    return setup_segments_from_alphas(alphas, uv_alpha, base_qi)
+
+
+def setup_segments_from_alphas(alphas, uv_alpha, base_qi):
+    """K-means + quant/lf math on precomputed per-MB alphas (the host tail
+    of setup_segments; alphas may come from the host analyze_image or the
+    device twin ops/analysis2.analyze_alphas_batch — bit-identical)."""
+    from .analysis import assign_segments_kmeans, compute_segment_quant
+
+    histogram = np.bincount(alphas, minlength=256)
     centers, amap, mid = assign_segments_kmeans(histogram, 4)
     lo, hi = int(centers.min()), int(centers.max())
     rng = max(hi - lo, 1)
@@ -1323,12 +1331,38 @@ def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
     return arrays_list, probs, parts_list
 
 
-def compute_seg_results(planes, quality: int, mbw, mbh):
+def compute_seg_results(planes, quality: int, mbw, mbh, device: bool = True):
     """Per-image k-means segmentation for a batch (the host half of
     analyze_frames_lossy_batch; pass the result back via seg_results= to
-    overlap it with device work in a pipeline)."""
+    overlap it with device work in a pipeline).
+
+    The per-MB alpha analysis (the expensive part, ~22 ms/img numpy on
+    this 2-core host) runs on-device by default (ops/analysis2, bit-equal
+    to the host pass); only k-means + quant math stay on host (~1 ms)."""
     qi = quality_to_quant_index(quality)
     seg = SegmentParams(qi)
+    if device and mbw * mbh >= 256:
+        try:
+            import jax.numpy as jnp
+
+            from ..ops.analysis2 import analyze_alphas_batch
+
+            Y = jnp.asarray(np.stack([p[0] for p in planes]))
+            U = jnp.asarray(np.stack([p[1] for p in planes]))
+            V = jnp.asarray(np.stack([p[2] for p in planes]))
+            final, uv = analyze_alphas_batch(Y, U, V, mbw, mbh)
+            final = np.asarray(final)
+            uv = np.asarray(uv)
+            return list(
+                _host_pool().map(
+                    lambda i: setup_segments_from_alphas(final[i], int(uv[i]), qi),
+                    range(len(planes)),
+                )
+            )
+        except Exception as e:  # pragma: no cover - fall back to host pass
+            from ..io.native import warn_once
+
+            warn_once("analyze_alphas_batch(device)", e)
     return list(
         _host_pool().map(
             lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
@@ -1383,12 +1417,7 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
     # remote XLA compile budget at batch scale.
     if segments and mbw * mbh >= 256:
         if seg_results is None:
-            seg_results = list(
-                _host_pool().map(
-                    lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
-                    planes,
-                )
-            )
+            seg_results = compute_seg_results(planes, quality, mbw, mbh)
         P = EncParamsSegs.from_segments([r[3] for r in seg_results])
         sid = jnp.asarray(np.stack([r[2] for r in seg_results]))
     else:
@@ -1519,12 +1548,7 @@ def probe_stage_times(planes, quality, method, mbw, mbh, segments=True,
     TB = EncTables.default()
     if segments and mbw * mbh >= 256:
         if seg_results is None:
-            seg_results = list(
-                _host_pool().map(
-                    lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
-                    planes,
-                )
-            )
+            seg_results = compute_seg_results(planes, quality, mbw, mbh)
         P = EncParamsSegs.from_segments([r[3] for r in seg_results])
         sid = jnp.asarray(np.stack([r[2] for r in seg_results]))
     else:

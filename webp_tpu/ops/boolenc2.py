@@ -31,6 +31,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _apply_op(carry, bit, prob, ok):
+    """One boolean-coder op, vectorized over lanes.  Returns the new
+    (bottom, range, bit_num) carry plus (emit_byte, emitted, carries)."""
+    bottom, rng, bit_num = carry  # bottom uint32
+    split = (1 + (((rng - 1) * prob) >> 8)).astype(jnp.uint32)
+    bottom2 = jnp.where(bit != 0, bottom + split, bottom)
+    rng2 = jnp.where(bit != 0, rng - split.astype(jnp.int32), split.astype(jnp.int32))
+
+    emit_byte = jnp.zeros(bottom.shape, jnp.int32)
+    emitted = jnp.zeros(bottom.shape, jnp.int32)
+    carries = jnp.zeros(bottom.shape, jnp.int32)
+    bit_num2 = bit_num
+    # Renormalize: at most 7 doublings bring range back to >= 128.
+    # A carry after this step's emission is impossible (the flushed
+    # bottom is < 2^24 and <= 6 doublings remain), so every carry here
+    # belongs to a PREVIOUS byte and rides the `carries` count.
+    for _ in range(7):
+        need = rng2 < 128
+        carries = carries + jnp.where(need & ((bottom2 >> 31) != 0), 1, 0)
+        rng2 = jnp.where(need, rng2 << 1, rng2)
+        bottom2 = jnp.where(need, bottom2 << 1, bottom2)  # uint32 wraps
+        bit_num2 = bit_num2 - need.astype(jnp.int32)
+        do_emit = need & (bit_num2 == 0)
+        emit_byte = jnp.where(
+            do_emit, ((bottom2 >> 24) & 0xFF).astype(jnp.int32), emit_byte
+        )
+        emitted = emitted | do_emit.astype(jnp.int32)
+        bottom2 = jnp.where(do_emit, bottom2 & 0xFFFFFF, bottom2)
+        bit_num2 = jnp.where(do_emit, 8, bit_num2)
+
+    okb = ok != 0
+    new_carry = (
+        jnp.where(okb, bottom2, bottom),
+        jnp.where(okb, rng2, rng),
+        jnp.where(okb, bit_num2, bit_num),
+    )
+    # narrow per-step outputs: T x L of them accumulate in HBM
+    return new_carry, (
+        emit_byte.astype(jnp.uint8),
+        jnp.where(okb, emitted, 0).astype(jnp.uint8),
+        jnp.where(okb, carries, 0).astype(jnp.uint8),
+    )
+
+
+# lax.scan unroll factor.  One-op-per-iteration measured ~8 us/step of
+# loop/DMA overhead on v5e (the ~172k-step stream ran 1.43 s/img — NOTES
+# r3); unrolling amortizes that overhead across UNROLL ops per iteration
+# while threading only the tiny (bottom, range, bit_num) carry.
+UNROLL = 16
+
+
 @functools.partial(jax.jit, static_argnames=("max_bytes",))
 def bool_encode_lanes(bits, probs, valid, max_bytes: int, init_state=None):
     """Encode per-lane boolean op streams.
@@ -45,45 +96,28 @@ def bool_encode_lanes(bits, probs, valid, max_bytes: int, init_state=None):
     whose output exceeds max_bytes reports n_bytes > max_bytes (caller
     must fall back)."""
     T, L = bits.shape
+    # Pad the op streams with no-ops: small T to the next power of two (it
+    # collapses the set of distinct compiled shapes — the unrolled body
+    # makes each compile non-trivial, and tests sweep many lengths), large
+    # T just to an UNROLL multiple (production T is fixed per geometry and
+    # pow2 padding would waste up to 2x stream memory).
+    if T > 8192:
+        Tp = ((T + UNROLL - 1) // UNROLL) * UNROLL
+    else:
+        Tp = UNROLL
+        while Tp < T:
+            Tp *= 2
+    pad = Tp - T
+    # Keep the streams at their narrow dtypes in HBM; widen per-step.
+    bits = jnp.pad(bits, ((0, pad), (0, 0)))
+    probs = jnp.pad(probs, ((0, pad), (0, 0)))
+    valid = jnp.pad(valid, ((0, pad), (0, 0)))
 
     def step(carry, x):
-        bottom, rng, bit_num = carry  # bottom uint32
         bit, prob, ok = x
-        split = (1 + (((rng - 1) * prob) >> 8)).astype(jnp.uint32)
-        bottom2 = jnp.where(bit != 0, bottom + split, bottom)
-        rng2 = jnp.where(bit != 0, rng - split.astype(jnp.int32), split.astype(jnp.int32))
-
-        emit_byte = jnp.zeros((L,), jnp.int32)
-        emitted = jnp.zeros((L,), jnp.int32)
-        carries = jnp.zeros((L,), jnp.int32)
-        # Renormalize: at most 7 doublings bring range back to >= 128.
-        # A carry after this step's emission is impossible (the flushed
-        # bottom is < 2^24 and <= 6 doublings remain), so every carry here
-        # belongs to a PREVIOUS byte and rides the `carries` count.
-        for _ in range(7):
-            need = rng2 < 128
-            carries = carries + jnp.where(
-                need & ((bottom2 >> 31) != 0), 1, 0
-            )
-            rng2 = jnp.where(need, rng2 << 1, rng2)
-            bottom2 = jnp.where(need, bottom2 << 1, bottom2)  # uint32 wraps
-            bit_num = bit_num - need.astype(jnp.int32)
-            do_emit = need & (bit_num == 0)
-            emit_byte = jnp.where(
-                do_emit, ((bottom2 >> 24) & 0xFF).astype(jnp.int32), emit_byte
-            )
-            emitted = emitted | do_emit.astype(jnp.int32)
-            bottom2 = jnp.where(do_emit, bottom2 & 0xFFFFFF, bottom2)
-            bit_num = jnp.where(do_emit, 8, bit_num)
-
-        okb = ok != 0
-        bottom = jnp.where(okb, bottom2, bottom)
-        rng = jnp.where(okb, rng2, rng)
-        # bit_num was modified in-loop; undo for invalid lanes
-        return (bottom, rng, jnp.where(okb, bit_num, carry[2])), (
-            emit_byte,
-            jnp.where(okb, emitted, 0),
-            jnp.where(okb, carries, 0),
+        return _apply_op(
+            carry, bit.astype(jnp.int32), prob.astype(jnp.int32),
+            ok.astype(jnp.int32),
         )
 
     if init_state is None:
@@ -102,11 +136,13 @@ def bool_encode_lanes(bits, probs, valid, max_bytes: int, init_state=None):
     (bottom, rng, bit_num), (ebytes, eflags, ecarr) = jax.lax.scan(
         step,
         init,
-        (bits.astype(jnp.int32), probs.astype(jnp.int32), valid.astype(jnp.int32)),
+        (bits, probs, valid),
+        unroll=UNROLL,
     )
-    ebytes = ebytes.T  # [L, T]
-    eflags = eflags.T
-    ecarr = ecarr.T
+    T = Tp
+    ebytes = ebytes.T.astype(jnp.int32)  # [L, T]
+    eflags = eflags.T.astype(jnp.int32)
+    ecarr = ecarr.T.astype(jnp.int32)
 
     cs = jnp.cumsum(eflags, axis=1)  # emitted-count prefix per lane
     n_bytes = cs[:, -1]

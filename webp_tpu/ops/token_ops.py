@@ -262,8 +262,19 @@ def encode_coeff_partitions(y2_levels, y_levels, uv_levels, luma_mode,
 
     prob, bit, valid = block_ops(levels, plane, first, ctxs, probs_flat)
     valid = valid & blk_ok[..., None]
-    prob8 = prob.astype(jnp.uint8)
-    bit8 = bit.astype(jnp.uint8)
+
+    # The op streams go to the boolean scan UNCOMPACTED, invalid slots
+    # riding as valid=0 no-ops: the unrolled scan (ops/boolenc2, UNROLL
+    # steps fused per loop iteration) makes a no-op ~as cheap as a real op,
+    # so the ~6%-density gaps cost a few ms/batch — while the old
+    # image-flat cumsum+searchsorted compaction was the same TPU-hostile
+    # gather pattern as the retired level pack and cost ~seconds per batch
+    # (NOTES r4).  max_ops is no longer a stream bound; it remains the
+    # caller's fallback criterion against n_ops.
+    S = prob.shape[-1]
+    p8 = prob.astype(jnp.uint8)
+    b8 = bit.astype(jnp.uint8)
+    v8 = valid.astype(jnp.uint8)
 
     # Partition p carries MB rows r with r % nparts == p, raster order.
     rows_per = (mbh + nparts - 1) // nparts
@@ -274,40 +285,21 @@ def encode_coeff_partitions(y2_levels, y_levels, uv_levels, luma_mode,
     row_ok = jnp.asarray(row_idx >= 0)
     row_gather = jnp.asarray(np.maximum(row_idx, 0))
 
-    S = prob.shape[-1]
-    prob_r = prob8.reshape(mbh, mbw * 25 * S)
-    bit_r = bit8.reshape(mbh, mbw * 25 * S)
-    val_r = valid.reshape(mbh, mbw * 25 * S)
+    prob_r = p8.reshape(mbh, mbw * 25 * S)
+    bit_r = b8.reshape(mbh, mbw * 25 * S)
+    val_r = v8.reshape(mbh, mbw * 25 * S)
 
     pp = prob_r[row_gather].reshape(nparts, -1)  # [P, rows_per*mbw*25*S]
     bb = bit_r[row_gather].reshape(nparts, -1)
-    vv = (val_r[row_gather] & row_ok[..., None]).reshape(nparts, -1)
+    vv = (val_r[row_gather] & row_ok[..., None].astype(jnp.uint8)).reshape(
+        nparts, -1
+    )
 
-    n_flat = pp.shape[-1]
-    cs = jnp.cumsum(vv.astype(jnp.int32), axis=-1)
-    n_ops = cs[:, -1]
-    ks = jnp.arange(1, max_ops + 1, dtype=jnp.int32)
-
-    def one(cs_p, pp_p, bb_p):
-        idx = jnp.searchsorted(cs_p, ks, side="left")
-        ok = idx < n_flat
-        gi = jnp.clip(idx, 0, n_flat - 1)
-        return (
-            jnp.where(ok, pp_p[gi], 128),
-            jnp.where(ok, bb_p[gi], 0),
-            ok,
-        )
-
-    probs_c, bits_c, ok_c = jax.vmap(one)(cs, pp, bb)  # [P, max_ops]
+    n_ops = vv.astype(jnp.int32).sum(-1)
 
     from .boolenc2 import bool_encode_lanes
 
-    lead, data, n_bytes, state = bool_encode_lanes(
-        bits_c.T.astype(jnp.int32),
-        probs_c.T.astype(jnp.int32),
-        ok_c.T.astype(jnp.int32),
-        max_bytes,
-    )
+    lead, data, n_bytes, state = bool_encode_lanes(bb.T, pp.T, vv.T, max_bytes)
     return lead, data, n_bytes, state, n_ops
 
 
