@@ -40,7 +40,7 @@ import numpy as np
 
 BASELINE_IMAGES_PER_S = 1.0 / (0.0042 + 0.065)
 BATCH = int(os.environ.get("WEBP_TPU_BENCH_BATCH", "32"))
-ROUNDS = int(os.environ.get("WEBP_TPU_BENCH_ROUNDS", "5"))
+ROUNDS = int(os.environ.get("WEBP_TPU_BENCH_ROUNDS", "9"))
 SEGMENTS = os.environ.get("WEBP_TPU_BENCH_SEGMENTS", "1") == "1"
 MPIX = 768 * 512 / 1e6
 
@@ -205,7 +205,7 @@ def main():
     fetch_i = analyze_with(seg_of())
     prev_arrays = None
     holder = {}
-    for r in range(ROUNDS):
+    for r in range(-1, ROUNDS):  # round -1 is untimed pipeline fill
         t0 = time.time()
         seg_fut = seg_lane.submit(seg_of)
 
@@ -217,7 +217,8 @@ def main():
             vp8s = finish(prev_arrays)
         prev_arrays = fut.result()
         fetch_i = holder.get("next")
-        enc_times.append(time.time() - t0)
+        if r >= 0:
+            enc_times.append(time.time() - t0)
     t0 = time.time()
     vp8s = finish(prev_arrays)
     enc_tail = time.time() - t0
@@ -225,8 +226,8 @@ def main():
     # the tail host pass are pipeline fill/drain.
     t_encode = statistics.median(enc_times) / BATCH + t_rgb2yuv
     enc_spread = spread(enc_times)
-    enc_up = E.XFER["up"] / (ROUNDS * BATCH)
-    enc_down = E.XFER["down"] / (ROUNDS * BATCH)
+    enc_up = E.XFER["up"] / ((ROUNDS + 1) * BATCH)
+    enc_down = E.XFER["down"] / ((ROUNDS + 1) * BATCH)
 
     # ---------------- decode ----------------
     def wrap(v):

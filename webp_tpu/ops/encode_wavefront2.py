@@ -1269,7 +1269,6 @@ def _build_level_code_masks_np():
 
 
 @jax.jit
-@jax.jit
 def enc_tables_from_probs(probs_u8):
     """Per-image probability sets [B, 4, 8, 3, 11] -> batched EncTables.
 
