@@ -39,7 +39,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 BASELINE_IMAGES_PER_S = 1.0 / (0.0042 + 0.065)
-BATCH = int(os.environ.get("WEBP_TPU_BENCH_BATCH", "32"))
+# 64 beats 32 since the round-4 pack fix: every device stage is
+# latency-bound, so a bigger batch amortizes the wavefront scan's fixed
+# per-step cost across more images (32: ~12.7 img/s, 64: ~15.0, 96: ~14.4
+# measured; round 3's "batch 64 worse" verdict was an artifact of the old
+# searchsorted level pack).
+BATCH = int(os.environ.get("WEBP_TPU_BENCH_BATCH", "64"))
 ROUNDS = int(os.environ.get("WEBP_TPU_BENCH_ROUNDS", "9"))
 SEGMENTS = os.environ.get("WEBP_TPU_BENCH_SEGMENTS", "1") == "1"
 MPIX = 768 * 512 / 1e6

@@ -40,10 +40,13 @@ def parse_levels(webp_bytes):
     return d
 
 
-def main(q=90):
-    img = np.asarray(
-        Image.open("/root/reference/tests/reference/gallery1/1.png").convert("RGB")
-    )[:256, :320].copy()
+def main(q=90, image="/root/reference/tests/reference/gallery1/1.png",
+         crop=(256, 320)):
+    img = np.asarray(Image.open(image).convert("RGB"))
+    if crop:
+        img = img[: crop[0], : crop[1]]
+    h16, w16 = (img.shape[0] // 16) * 16, (img.shape[1] // 16) * 16
+    img = img[:h16, :w16].copy()
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, "WEBP", quality=q, method=4)
     lw = buf.getvalue()
@@ -172,4 +175,13 @@ def main(q=90):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 90)
+    q = int(sys.argv[1]) if len(sys.argv) > 1 else 90
+    image = sys.argv[2] if len(sys.argv) > 2 else \
+        "/root/reference/tests/reference/gallery1/1.png"
+    crop = None
+    if len(sys.argv) > 3:
+        ch, cw = (int(x) for x in sys.argv[3].split("x"))
+        crop = (ch, cw)
+    elif len(sys.argv) <= 2:
+        crop = (256, 320)
+    main(q, image, crop)
