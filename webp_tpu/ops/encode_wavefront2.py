@@ -511,7 +511,8 @@ def _i4_trellis_v2(a16, tr4, tl, left16, src, modes, top_cy, left_cy, P, tbl):
         return (ws, nnz_ext), lv
 
     (ws, nnz_ext), lvs = jax.lax.scan(
-        body, (ws, nnz_ext), (jnp.arange(16, dtype=jnp.int32), src_x, modes_x)
+        body, (ws, nnz_ext), (jnp.arange(16, dtype=jnp.int32), src_x, modes_x),
+        unroll=4,
     )
     levels = jnp.moveaxis(lvs, 0, 2)  # [R,B,16,16]
     rec_full = ws[..., 1:, 1:17]
@@ -671,7 +672,7 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
     src_x = jnp.moveaxis(src_blocks, 2, 0)  # [16, R, B, 16]
     tsrc_x = jnp.moveaxis(tsrc_all, 2, 0)  # [16, R, B]
     (ws, tb, lb, _, _, rate, disto, tmc, ok), (ms, lvs) = jax.lax.scan(
-        body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x)
+        body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x), unroll=4
     )
     return (
         ok,
@@ -967,7 +968,8 @@ def encode_analysis_batch_v2(
             t, src, src_c = inp
             return enc_step(state, t, src, src_c, P, tbl, mbw, n_try, do_trellis)
 
-        _, outs = jax.lax.scan(step, state, (jnp.arange(T_), src_s, srcc_s))
+        _, outs = jax.lax.scan(step, state, (jnp.arange(T_), src_s, srcc_s),
+                               unroll=2)
     else:
         sid_s = schedule_mb_data(segment_ids.astype(jnp.int32), idx)  # [T,R,B]
 
@@ -978,7 +980,7 @@ def encode_analysis_batch_v2(
             )
 
         _, outs = jax.lax.scan(
-            step, state, (jnp.arange(T_), src_s, srcc_s, sid_s)
+            step, state, (jnp.arange(T_), src_s, srcc_s, sid_s), unroll=2
         )
     lmode, cmode, bp, ylv, y2lv, uvlv = outs
 

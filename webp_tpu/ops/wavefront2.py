@@ -321,6 +321,7 @@ def decode_frames_fused_v2(residuals, luma_mode, bpred, chroma_mode,
     _, (fy, cu, cv) = jax.lax.scan(
         step, {**rstate, **fstate},
         (jnp.arange(T + 2), res_s, lm_s, bp_s, cm_s, lv_s, it_s, hv_s, ds_s),
+        unroll=2,
     )
     y = assemble_plane_v2(fy[2:], mbw, mbh, 16).astype(jnp.uint8)
     if simple:
