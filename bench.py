@@ -109,19 +109,21 @@ def roofline(mbw, mbh, t_p1, t_p2, t_pack, t_dec):
         intermediates ~8 passes over the frame ~= 6 MB.
       p2 RD: 4-try I4 + trellis ~= 260k flops/MB; ~15 MB HBM traffic
         (candidate tensors + lv8 write).
-      pack: per-MB one-hot contraction 400*128*2 flops/MB; reads lv8
-        (0.6 MB) + writes vals (0.2 MB).
+      pack: per-MB one-hot contraction 400*CAP_MB*2 flops/MB; reads lv8
+        (0.6 MB) + writes vals (0.4 MB).
       decode scan: dequant+IDCT+predict+filter+upsample ~= 120k flops/MB;
         ~6 frame passes ~= 7 MB.
     A stage is "latency-bound" when BOTH utilizations are <5%: the cost is
     scan-step/dispatch overhead (the wavefront lax.scan runs mbw + 2*mbh
     sequential steps), not compute or bandwidth.
     """
+    from webp_tpu.ops.encode_wavefront2 import CAP_MB
+
     nmb = mbw * mbh
     stages = {
         "p1_stats": (160e3 * nmb, 6e6, t_p1),
         "p2_rd": (260e3 * nmb, 15e6, t_p2),
-        "pack": (400 * 128 * 2 * nmb, 1e6, t_pack),
+        "pack": (400 * CAP_MB * 2 * nmb, 1.5e6, t_pack),
         "decode_scan": (120e3 * nmb, 7e6, t_dec),
     }
     out = {}
@@ -195,7 +197,6 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     xfer = ThreadPoolExecutor(max_workers=1)
-    seg_lane = ThreadPoolExecutor(max_workers=1)
     dec_lane = ThreadPoolExecutor(max_workers=1)
     E.XFER.update(up=0, down=0)
     enc_times = []
@@ -210,13 +211,17 @@ def main():
     fetch_i = analyze_with(seg_of())
     prev_arrays = None
     holder = {}
+
+    # The chain hook runs ON the xfer thread right after batch i's pass-2
+    # kernel is enqueued, so EVERY device dispatch (segment alpha analysis,
+    # pass 1, pass 2) goes through this single lane in a fixed order —
+    # ADVICE r4: a second dispatch lane (the old seg_lane thread) races the
+    # stream order and shows up as bimodal round times.
+    def chain():
+        holder["next"] = analyze_with(seg_of())
+
     for r in range(-1, ROUNDS):  # round -1 is untimed pipeline fill
         t0 = time.time()
-        seg_fut = seg_lane.submit(seg_of)
-
-        def chain(seg_fut=seg_fut):
-            holder["next"] = analyze_with(seg_fut.result())
-
         fut = xfer.submit(fetch_i, chain if r + 1 < ROUNDS else None)
         if prev_arrays is not None:
             vp8s = finish(prev_arrays)

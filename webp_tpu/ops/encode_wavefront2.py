@@ -1111,7 +1111,7 @@ def _pack_levels_stage(lv8, cap_mb: int):
 CAP_MB = 256
 
 
-def _pack_stage(lv8, meta8, esc_pos, esc_val, overflow, nmb: int):
+def _pack_stage(lv8, meta8, esc_pos, esc_val, overflow):
     """Second jit stage: sparse-pack the materialized levels.
 
     Kept a separate jit from the analysis so the pack reads the
@@ -1134,7 +1134,8 @@ def encode_analysis_batch_v2_packed(
     """Analysis with device-side packing for the narrow host tunnel.
 
     Levels ship sparse — a nonzero bitmap plus the nonzero int8 values in
-    slot order (ops/sparse.py wire format: 50 + 128 bytes/MB vs 400 dense;
+    slot order (ops/sparse.py wire format: 50 + CAP_MB(=256) bytes/MB vs 400
+    dense;
     measured density is ~93 nonzeros/MB at Q75 m4) — plus up to N_ESC per-MB
     escape (position, int16 value) pairs for |level| > 127.  `sp_over[b]`
     flags an image whose nonzero count exceeded the sparse budget: the
@@ -1149,7 +1150,7 @@ def encode_analysis_batch_v2_packed(
         ybufs, ubufs, vbufs, params_tree, tables_tree, mbw, mbh, n_try,
         do_trellis, segment_ids,
     )
-    return _pack_stage(*pre, mbw * mbh)
+    return _pack_stage(*pre)
 
 
 def encode_analysis_batch_v2_pertbl_packed(
@@ -1167,7 +1168,7 @@ def encode_analysis_batch_v2_pertbl_packed(
         ybufs, ubufs, vbufs, params_tree, tables_batched, mbw, mbh, n_try,
         do_trellis, segment_ids,
     )
-    return _pack_stage(*pre, mbw * mbh)
+    return _pack_stage(*pre)
 
 
 @functools.partial(

@@ -108,7 +108,13 @@ def device_pack_levels_mb(lv8, cap_mb: int):
 
 
 def device_expand_levels(bitmap, vals, n: int):
-    """(bitmap uint8 [B, n/8], vals int8 [B, cap]) -> dense int8 [B, n]."""
+    """(bitmap uint8 [B, n/8], vals int8 [B, cap]) -> dense int8 [B, n].
+
+    NOTE: the image-flat take_along_axis gather costs ~478 ms/batch at bench
+    geometry (profiled r5: one kCustom gather fusion dominates the whole
+    decode dispatch) — production decode uses device_expand_levels_mb.
+    Kept for small shapes and as the flat-format reference.
+    """
     B = bitmap.shape[0]
     cap = vals.shape[-1]
     shifts = jnp.array(_BIT_SHIFTS, jnp.uint8)
@@ -118,6 +124,36 @@ def device_expand_levels(bitmap, vals, n: int):
     idx = jnp.clip(cs - 1, 0, cap - 1)
     lv = jnp.take_along_axis(vals, idx, axis=-1)
     return jnp.where(mask != 0, lv, jnp.int8(0))
+
+
+def device_expand_levels_mb(bitmap, vals, nmb: int, S: int):
+    """(bitmap uint8 [B, nmb*S/8], vals int8 [B, nmb, cap_mb]) -> dense int8
+    [B, nmb, S].  TPU-native expansion, inverse of device_pack_levels_mb.
+
+    One-hot-matmul scatter instead of a gather: dense[m, j] =
+    sum_k vals[m, k] * 1[cumsum(mask)[m, j] == k+1 and mask[m, j]] — each set
+    slot j receives exactly its rank-(cs[j]-1) value, unset slots sum to
+    zero.  The contraction is a [cap_mb, S] matmul per MB on the MXU
+    (~25 ms/batch at bench geometry) versus the flat gather's ~478 ms.
+    f32 accumulation is exact (|vals| < 2^7, one term per output).
+    """
+    B = bitmap.shape[0]
+    cap = vals.shape[-1]
+    shifts = jnp.array(_BIT_SHIFTS, jnp.uint8)
+    bits = (bitmap[..., None] >> shifts) & jnp.uint8(1)
+    mask = bits.reshape(B, -1)[:, : nmb * S].reshape(B, nmb, S)
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # [B, nmb, S]
+    onehot = (
+        (cs[..., None] == jnp.arange(1, cap + 1, dtype=jnp.int32))
+        & (mask[..., None] != 0)
+    ).astype(jnp.float32)  # [B, nmb, S, cap], fused tile-wise into the matmul
+    dense = jnp.einsum(
+        "bmk,bmjk->bmj",
+        vals.astype(jnp.float32),
+        onehot,
+        preferred_element_type=jnp.float32,
+    )
+    return dense.astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +170,27 @@ def host_pack_levels(flat_i8: np.ndarray, cap: int):
         return bitmap, None, False
     vals = np.zeros(cap, np.int8)
     vals[: len(nz)] = nz
+    return bitmap, vals, True
+
+
+def host_pack_levels_mb(flat_i8: np.ndarray, nmb: int, S: int, cap_mb: int):
+    """[nmb*S] int8 -> (bitmap uint8 [nmb*S/8], vals int8 [nmb, cap_mb], ok).
+
+    Per-MB wire format (matches device_pack_levels_mb / host_expand_levels_mb):
+    MB m's nonzeros occupy vals[m, :count_m] in slot order.  ok=False when
+    any MB exceeds cap_mb (caller falls back to the dense path).
+    """
+    lv2 = flat_i8.reshape(nmb, S)
+    mask = lv2 != 0
+    bitmap = np.packbits(mask)
+    counts = mask.sum(1)
+    if counts.max(initial=0) > cap_mb:
+        return bitmap, None, False
+    rows, cols = np.nonzero(mask)  # sorted by (row, col)
+    row_start = np.concatenate([[0], np.cumsum(counts[:-1])])
+    ranks = np.arange(len(rows)) - row_start[rows]
+    vals = np.zeros((nmb, cap_mb), np.int8)
+    vals[rows, ranks] = lv2[rows, cols]
     return bitmap, vals, True
 
 
