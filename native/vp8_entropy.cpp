@@ -1080,3 +1080,149 @@ int vp8_token_stats(const int32_t* levels, const int32_t* meta, int n_blocks,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// BT.601 fixed-point RGB->YUV420 with 2x2 chroma averaging and
+// edge-replicated padding to whole macroblocks.  Bit-exact twin of
+// webp_tpu/ops/yuv.py:rgb_to_yuv420 (parity target: the reference's
+// convert_image_yuv, /root/reference/src/decoder/yuv.rs:656-898).
+// rgb: [h, w, channels] uint8 (channels 3 or 4); y out [mbh*16, mbw*16];
+// u/v out [mbh*8, mbw*8].
+int rgb_to_yuv420(const uint8_t* rgb, int h, int w, int channels,
+                  uint8_t* y, uint8_t* u, uint8_t* v) {
+    if (h <= 0 || w <= 0 || (channels != 3 && channels != 4)) return -1;
+    const int YUV_FIX = 16;
+    const int64_t YUV_HALF = 1 << (YUV_FIX - 1);
+    const int mbw = (w + 15) / 16, mbh = (h + 15) / 16;
+    const int yw = mbw * 16, yh = mbh * 16;
+    const int cw2 = mbw * 8, ch2 = mbh * 8;
+    // Luma: padded rows/cols replicate the last image row/col (clamped src).
+    for (int py = 0; py < yh; py++) {
+        const int sy = py < h ? py : h - 1;
+        const uint8_t* row = rgb + (size_t)sy * w * channels;
+        uint8_t* orow = y + (size_t)py * yw;
+        for (int px = 0; px < yw; px++) {
+            const int sx = px < w ? px : w - 1;
+            const uint8_t* p = row + (size_t)sx * channels;
+            int64_t r = p[0], g = p[1], b = p[2];
+            orow[px] = (uint8_t)((16839 * r + 33059 * g + 6420 * b + YUV_HALF +
+                                  ((int64_t)16 << YUV_FIX)) >> YUV_FIX);
+        }
+    }
+    // Chroma: 2x2 average of the raw (un-rounded) U/V values with edge
+    // replication for odd dimensions, then padded by clamping.
+    const int ch = (h + 1) / 2, cwid = (w + 1) / 2;
+    for (int cy = 0; cy < ch2; cy++) {
+        const int scy = cy < ch ? cy : ch - 1;
+        uint8_t* ur = u + (size_t)cy * cw2;
+        uint8_t* vr = v + (size_t)cy * cw2;
+        for (int cx = 0; cx < cw2; cx++) {
+            const int scx = cx < cwid ? cx : cwid - 1;
+            int64_t us = 0, vs = 0;
+            for (int dy = 0; dy < 2; dy++) {
+                int syy = 2 * scy + dy; if (syy >= h) syy = h - 1;
+                for (int dx = 0; dx < 2; dx++) {
+                    int sxx = 2 * scx + dx; if (sxx >= w) sxx = w - 1;
+                    const uint8_t* p = rgb + ((size_t)syy * w + sxx) * channels;
+                    int64_t r = p[0], g = p[1], b = p[2];
+                    us += -9719 * r - 19081 * g + 28800 * b + ((int64_t)128 << YUV_FIX);
+                    vs += 28800 * r - 24116 * g - 4684 * b + ((int64_t)128 << YUV_FIX);
+                }
+            }
+            ur[cx] = (uint8_t)((us + (YUV_HALF << 2)) >> (YUV_FIX + 2));
+            vr[cx] = (uint8_t)((vs + (YUV_HALF << 2)) >> (YUV_FIX + 2));
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Fancy (9:3:3:1 bilinear) YUV420 -> RGB, libwebp fixed-point math.
+// Bit-exact twin of webp_tpu/ops/yuv.py:fancy_yuv420_to_rgb (reference:
+// /root/reference/src/decoder/yuv.rs:36-158,385-391).
+// y: padded [.., ystride]; u/v: padded [.., cstride]; rgb out [h, w, 3].
+int yuv420_to_rgb_fancy(const uint8_t* y, int ystride,
+                        const uint8_t* u, const uint8_t* v, int cstride,
+                        int width, int height, uint8_t* rgb) {
+    if (width <= 0 || height <= 0) return -1;
+    const int ch = (height + 1) / 2, cw = (width + 1) / 2;
+    for (int r = 0; r < height; r++) {
+        const int mr = r >> 1;
+        int fr = (r & 1) ? mr + 1 : mr - 1;
+        if (fr < 0) fr = 0;
+        if (fr >= ch) fr = ch - 1;
+        const uint8_t* um = u + (size_t)mr * cstride;
+        const uint8_t* uf = u + (size_t)fr * cstride;
+        const uint8_t* vm = v + (size_t)mr * cstride;
+        const uint8_t* vf = v + (size_t)fr * cstride;
+        const uint8_t* yr = y + (size_t)r * ystride;
+        uint8_t* out = rgb + (size_t)r * width * 3;
+        for (int x = 0; x < width; x++) {
+            const int mc = x >> 1;
+            int fc = (x & 1) ? mc + 1 : mc - 1;
+            if (fc < 0) fc = 0;
+            if (fc >= cw) fc = cw - 1;
+            const int uu = (9 * um[mc] + 3 * um[fc] + 3 * uf[mc] + uf[fc] + 8) >> 4;
+            const int vv = (9 * vm[mc] + 3 * vm[fc] + 3 * vf[mc] + vf[fc] + 8) >> 4;
+            const int yv = ((int)yr[x] * 19077) >> 8;
+            int rr = (yv + ((vv * 26149) >> 8) - 14234) >> 6;
+            int gg = (yv - ((uu * 6419) >> 8) - ((vv * 13320) >> 8) + 8708) >> 6;
+            int bb = (yv + ((uu * 33050) >> 8) - 17685) >> 6;
+            out[3 * x + 0] = (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+            out[3 * x + 1] = (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+            out[3 * x + 2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Expand the encoder's coalesced per-MB sparse wire into dense int16
+// levels [nmb, 400].  bitmap bits are np.packbits order (MSB first); MB
+// m's nonzeros occupy rank order k = 0..count-1 as int4 nibbles of
+// vals4[m] (lo nibble first), with |v|>7 ranks overridden by the med list
+// (rank index u8, int8 value; padding entries carry val 0).  Image-level
+// |v|>127 escapes are applied by the python caller afterwards.
+int wire_expand_levels(const uint8_t* bitmap, const uint8_t* vals4,
+                       const uint8_t* med_idx, const int8_t* med_val,
+                       int nmb, int cap_mb, int med_cap, int16_t* out) {
+    for (int m = 0; m < nmb; m++) {
+        const uint8_t* bm = bitmap + (size_t)m * 50;  // 400 bits
+        const uint8_t* v4 = vals4 + (size_t)m * (cap_mb / 2);
+        int16_t* dst = out + (size_t)m * 400;
+        // Decode this MB's nonzero values (nibbles + med overrides).
+        int16_t vals[512];
+        int cnt_hint = 0;
+        for (int b = 0; b < 50; b++) cnt_hint += __builtin_popcount(bm[b]);
+        if (cnt_hint > cap_mb) return -1;  // sp_over image: dense path
+        for (int k = 0; k < cnt_hint; k++) {
+            int nib = (k & 1) ? (v4[k >> 1] >> 4) : (v4[k >> 1] & 0xF);
+            vals[k] = (int16_t)(nib >= 8 ? nib - 16 : nib);
+        }
+        const uint8_t* mi = med_idx + (size_t)m * med_cap;
+        const int8_t* mv = med_val + (size_t)m * med_cap;
+        for (int e = 0; e < med_cap && mv[e] != 0; e++) {
+            if (mi[e] >= cnt_hint) return -3;
+            vals[mi[e]] = mv[e];
+        }
+        int k = 0;
+        for (int b = 0; b < 50; b++) {
+            uint8_t bits = bm[b];
+            while (bits) {
+                int lead = __builtin_clz((unsigned)bits) - 24;  // MSB first
+                dst[b * 8 + lead] = vals[k++];
+                bits &= ~(0x80u >> lead);
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

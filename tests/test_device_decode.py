@@ -69,3 +69,20 @@ def test_mixed_geometry_batch(goldens, fixtures):
     for i, p in enumerate(payloads):
         want = decode_vp8_batch_device([p])[0]
         assert np.array_equal(got[i], want), i
+
+
+def test_yuv_delivery_path_matches_rgb(fixtures, goldens):
+    """out="yuv" dispatch + native host conversion == out="rgb" dispatch
+    (the host-delivery model: half the d2h bytes, bit-exact RGB)."""
+    from webp_tpu.decode import device as D
+
+    name, golden = LOSSY[1]
+    data = (fixtures / name).read_bytes()
+    payload = WebPDecoder(data)._chunk_bytes(ck.VP8)
+    w, h = WebPDecoder(data).dimensions()
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    rgb = np.asarray(D.dispatch_decode_batch([payload] * 2))
+    packed = np.asarray(D.dispatch_decode_batch([payload] * 2, out="yuv"))
+    rgb2 = D.yuv_packed_to_rgb(packed, mbw, mbh, w, h)
+    np.testing.assert_array_equal(rgb, rgb2)
+    np.testing.assert_array_equal(rgb[0], _want(goldens, golden))

@@ -85,3 +85,21 @@ def test_rgb_to_yuv420_exact():
     np.testing.assert_array_equal(gy, wy)
     np.testing.assert_array_equal(gu, wu)
     np.testing.assert_array_equal(gv, wv)
+
+
+def test_rgb_to_yuv420_native_matches_numpy():
+    from webp_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    # Odd sizes exercise the edge-replication and padding paths; RGBA
+    # exercises the stride-4 path.
+    for h, w, ch in [(64, 48, 3), (37, 51, 3), (1, 1, 3), (16, 17, 4), (33, 32, 4)]:
+        rgb = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        ny, nu, nv = native.rgb_to_yuv420(rgb)
+        wy, wu, wv = nyuv.rgb_to_yuv420_numpy(rgb)
+        np.testing.assert_array_equal(ny, wy)
+        np.testing.assert_array_equal(nu, wu)
+        np.testing.assert_array_equal(nv, wv)

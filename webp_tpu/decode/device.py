@@ -163,12 +163,16 @@ def decode_vp8_batch_device(payloads, device_out: bool = False):
     return rgb if device_out else np.asarray(rgb)
 
 
-def dispatch_decode_batch(payloads):
+def dispatch_decode_batch(payloads, out: str = "rgb"):
     """Parse + upload + launch the batched decode; returns the device array.
 
     Split from `decode_vp8_batch_device` so callers can pipeline: the
     returned array is async — fetch it (np.asarray) only after dispatching
     the next batch's work.
+
+    out="rgb" (default) returns [B, h, w, 3]; out="yuv" returns the packed
+    uint8 planes [B, yh*yw + 2*ch*cw_] for the host-delivery path (half the
+    uncompressed d2h bytes; convert with native.yuv420_to_rgb_fancy).
     """
     from ..io import native
 
@@ -202,6 +206,7 @@ def dispatch_decode_batch(payloads):
             jnp.asarray(batch["u8buf"]),
             *geo,
             backend,
+            out == "yuv",
         )
     if batch["i8buf"] is not None:  # pragma: no cover - sparse overflow
         return _device_decode_levels8(
@@ -216,6 +221,47 @@ def dispatch_decode_batch(payloads):
     return _device_decode_levels(  # pragma: no cover - escape overflow
         jnp.asarray(batch["i16buf"]), jnp.asarray(batch["u8buf"]), *geo, backend
     )
+
+
+def yuv_packed_to_rgb(packed_np: np.ndarray, mbw: int, mbh: int,
+                      width: int, height: int) -> np.ndarray:
+    """Host half of the out="yuv" delivery path: split the fetched packed
+    planes [B, yh*yw + 2*ch*cw] and convert to RGB [B, h, w, 3] with the
+    native bit-exact fancy upsampler (thread pool; ~1 ms/img/core)."""
+    from ..io import native
+
+    if packed_np.ndim == 4:  # pragma: no cover - rare dense-fallback output
+        return packed_np  # the fallback dispatch paths produce RGB directly
+    B = packed_np.shape[0]
+    yh, yw = mbh * 16, mbw * 16
+    ch_, cw_ = mbh * 8, mbw * 8
+    ylen, clen = yh * yw, ch_ * cw_
+    out = np.empty((B, height, width, 3), np.uint8)
+
+    def one(i):
+        row = packed_np[i]
+        y = row[:ylen].reshape(yh, yw)
+        u = row[ylen : ylen + clen].reshape(ch_, cw_)
+        v = row[ylen + clen :].reshape(ch_, cw_)
+        out[i] = native.yuv420_to_rgb_fancy(y, u, v, width, height)
+
+    # NOT the parse pool: in a pipelined loop the next batch's 64 parse jobs
+    # are already queued there, and FIFO ordering would serialize this
+    # batch's conversion behind them.
+    list(_convert_pool().map(one, range(B)))
+    return out
+
+
+_CONVERT_POOL = None
+
+
+def _convert_pool():
+    global _CONVERT_POOL
+    if _CONVERT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CONVERT_POOL = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
+    return _CONVERT_POOL
 
 
 _PARSE_POOL = None
@@ -416,10 +462,11 @@ def _device_decode_levels(
     return _decode_core(levels, qtab, u8buf, mbw, mbh, simple, width, height, backend)
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend", "out_yuv"))
 def _device_decode_sparse8(
     bitmap, vals, esc_pos, esc_val, qtab, u8buf,
     mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+    out_yuv: bool = False,
 ):
     """Sparse bitmap+vals levels + escape list -> RGB (the upload fast path).
 
@@ -440,7 +487,9 @@ def _device_decode_sparse8(
     )
     lv = lv.at[jnp.arange(B)[:, None], esc_pos].set(esc_val, mode="drop")
     levels = lv.reshape(B, nmb, 25, 16)
-    return _decode_core(levels, qtab, u8buf, mbw, mbh, simple, width, height, backend)
+    return _decode_core(
+        levels, qtab, u8buf, mbw, mbh, simple, width, height, backend, out_yuv
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "simple", "width", "height", "backend"))
@@ -460,6 +509,7 @@ def _device_decode_levels8(
 def _decode_core(
     levels, qtab_i16, u8buf,
     mbw: int, mbh: int, simple: bool, width: int, height: int, backend: str,
+    out_yuv: bool = False,
 ):
     """Levels + quant tables -> RGB: dequant, Y2 IWHT+fold, IDCT, recon, filter.
 
@@ -507,6 +557,13 @@ def _decode_core(
         residuals, lm, bp, cm, level, interior, hev_t, do_sub,
         mbw, mbh, simple
     )
+    if out_yuv:
+        # Packed planes for the host-delivery path: half the bytes of RGB
+        # over the uncompressed d2h tunnel; host converts with the native
+        # bit-exact fancy upsampler.
+        return jnp.concatenate(
+            [y.reshape(B, -1), u.reshape(B, -1), v.reshape(B, -1)], axis=-1
+        )
     return jax_ops.fancy_yuv420_to_rgb(y, u, v, width, height)
 
 

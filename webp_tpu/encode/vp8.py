@@ -12,6 +12,7 @@ nnz contexts exactly as the decoder expects them.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -1227,30 +1228,65 @@ def _xfer_down(*arrays):
     XFER["down"] += sum(int(a.nbytes) for a in arrays)
 
 
+class _LazyUnpack:
+    """Mapping view of one image's analysis arrays that defers the wire
+    unpack (bitmap expand + escapes, ~5 ms of numpy) until first access —
+    the finisher resolves it inside its own host-pool workers, off the
+    pipeline's critical xfer lane."""
+
+    def __init__(self, thunk):
+        self._thunk = thunk
+        self._d = None
+
+    def _resolve(self):
+        if self._d is None:
+            self._d = self._thunk()
+            self._thunk = None
+        return self._d
+
+    def __getitem__(self, k):
+        return self._resolve()[k]
+
+    def keys(self):
+        return self._resolve().keys()
+
+    def __iter__(self):
+        return iter(self._resolve())
+
+    def __len__(self):
+        return len(self._resolve())
+
+
 def _fetch_packed(packed, planes, fallback):
-    """Fetch the device analysis results over the sparse wire format.
+    """Fetch the device analysis results over the coalesced wire buffer.
 
-    The dense int8 level array stays device-resident; only the rows of
-    images whose nonzero count overflowed the sparse budget are fetched.
+    ONE np.asarray round-trip for the whole batch (the d2h tunnel is
+    uncompressed ~35 MB/s with ~25 ms per-RPC latency, so the old
+    seven-fetch scheme paid ~150 ms/batch of pure latency).  The dense
+    int8 level array stays device-resident; only the rows of images whose
+    nonzero count overflowed the sparse budget are fetched.  Per-image
+    unpack is LAZY (resolved by the finisher's workers).
     """
-    from ..ops.encode_wavefront2 import unpack_analysis, unpack_analysis_sparse
-
-    lv8_dev, bitmap_dev, vals_dev, sp_over, meta8, esc_pos, esc_val, overflow = packed
-    overflow = np.asarray(overflow)
-    if overflow.any():  # pragma: no cover - >N_ESC escapes in one MB
-        return fallback()
-    sp_over = np.asarray(sp_over)
-    bitmap, vals, meta8, esc_pos, esc_val = (
-        np.asarray(a) for a in (bitmap_dev, vals_dev, meta8, esc_pos, esc_val)
+    from ..ops.encode_wavefront2 import (
+        unpack_analysis_dense_wire,
+        unpack_analysis_wire,
     )
-    _xfer_down(sp_over, overflow, bitmap, vals, meta8, esc_pos, esc_val)
+
+    lv8_dev, wire_dev = packed
+    wire = np.asarray(wire_dev)
+    _xfer_down(wire)
+    nmb = lv8_dev.shape[1]
+    if (wire[:, 1] != 0).any():  # pragma: no cover - escape-budget overflow
+        return fallback()
 
     def one(i):
-        if sp_over[i]:  # pragma: no cover - >cap nonzeros in one image
-            return unpack_analysis(np.asarray(lv8_dev[i]), meta8[i], esc_pos[i], esc_val[i])
-        return unpack_analysis_sparse(bitmap[i], vals[i], meta8[i], esc_pos[i], esc_val[i])
+        if wire[i, 0]:  # pragma: no cover - wire-budget overflow
+            return unpack_analysis_dense_wire(
+                np.asarray(lv8_dev[i]), wire[i], nmb
+            )
+        return unpack_analysis_wire(wire[i], nmb)
 
-    return list(_host_pool().map(one, range(len(planes))))
+    return [_LazyUnpack(functools.partial(one, i)) for i in range(len(planes))]
 
 
 DEVICE_TOKEN_PARTS = 8
@@ -1331,17 +1367,15 @@ def _fetch_tokens(Y, U, V, P, tables, probs, planes, mbw, mbh, n_try,
     return arrays_list, probs, parts_list
 
 
-def compute_seg_results(planes, quality: int, mbw, mbh, device: bool = True):
-    """Per-image k-means segmentation for a batch (the host half of
-    analyze_frames_lossy_batch; pass the result back via seg_results= to
-    overlap it with device work in a pipeline).
+def dispatch_seg_results(planes, quality: int, mbw, mbh):
+    """Dispatch the device alpha analysis for segmentation; returns a
+    zero-arg closure that fetches + finishes (k-means on host).
 
-    The per-MB alpha analysis (the expensive part, ~22 ms/img numpy on
-    this 2-core host) runs on-device by default (ops/analysis2, bit-equal
-    to the host pass); only k-means + quant math stay on host (~1 ms)."""
+    Split from compute_seg_results so a pipeline can enqueue the alpha
+    kernel EARLY (before the current batch's pass-2 kernel) and collect
+    the ~1.5 KB/img result later with a near-zero wait."""
     qi = quality_to_quant_index(quality)
-    seg = SegmentParams(qi)
-    if device and mbw * mbh >= 256:
+    if mbw * mbh >= 256:
         try:
             import jax.numpy as jnp
 
@@ -1351,24 +1385,55 @@ def compute_seg_results(planes, quality: int, mbw, mbh, device: bool = True):
             U = jnp.asarray(np.stack([p[1] for p in planes]))
             V = jnp.asarray(np.stack([p[2] for p in planes]))
             final, uv = analyze_alphas_batch(Y, U, V, mbw, mbh)
-            final = np.asarray(final)
-            uv = np.asarray(uv)
-            return list(
-                _host_pool().map(
-                    lambda i: setup_segments_from_alphas(final[i], int(uv[i]), qi),
-                    range(len(planes)),
-                )
+            joint_dev = jnp.concatenate(
+                [final.astype(jnp.int32), uv[:, None].astype(jnp.int32)], axis=1
             )
+
+            def finishf():
+                # One d2h RPC for both results (~25 ms latency per fetch).
+                joint = np.asarray(joint_dev)
+                final_h, uv_h = joint[:, :-1], joint[:, -1]
+                return list(
+                    _host_pool().map(
+                        lambda i: setup_segments_from_alphas(
+                            final_h[i], int(uv_h[i]), qi
+                        ),
+                        range(len(planes)),
+                    )
+                )
+
+            return finishf
         except Exception as e:  # pragma: no cover - fall back to host pass
             from ..io.native import warn_once
 
             warn_once("analyze_alphas_batch(device)", e)
-    return list(
+    seg = SegmentParams(qi)
+    return lambda: list(
         _host_pool().map(
             lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
             planes,
         )
     )
+
+
+def compute_seg_results(planes, quality: int, mbw, mbh, device: bool = True):
+    """Per-image k-means segmentation for a batch (the host half of
+    analyze_frames_lossy_batch; pass the result back via seg_results= to
+    overlap it with device work in a pipeline).
+
+    The per-MB alpha analysis (the expensive part, ~22 ms/img numpy on
+    this 2-core host) runs on-device by default (ops/analysis2, bit-equal
+    to the host pass); only k-means + quant math stay on host (~1 ms)."""
+    if not device:
+        qi = quality_to_quant_index(quality)
+        seg = SegmentParams(qi)
+        return list(
+            _host_pool().map(
+                lambda pl: setup_segments(pl[0], pl[1], pl[2], mbw, mbh, qi, seg),
+                planes,
+            )
+        )
+    return dispatch_seg_results(planes, quality, mbw, mbh)()
 
 
 def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
@@ -1437,11 +1502,13 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
             out = {k: np.asarray(a).astype(np.int32) for k, a in out.items()}
             return [{k: out[k][i] for k in out} for i in range(len(planes))]
 
-        def fetch1(chain=None):
+        def fetch1(chain=None, early_chain=None):
             # Same signature as the two-pass fetch so callers can use the
             # pipelined `xfer.submit(fetch, chain)` pattern either way
             # (ADVICE r3).  Nothing left to dispatch here, so the chained
             # next-batch dispatch runs first.
+            if early_chain is not None:
+                early_chain()
             if chain is not None:
                 chain()
             return _fetch_packed(packed1, planes, fallback1), None, None, seg_results
@@ -1459,14 +1526,23 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
 
     stats = encode_analysis_stats_batch(Y, U, V, P, TB, mbw, mbh, n_try1, sid)
 
-    def fetch(chain=None):
+    def fetch(chain=None, early_chain=None):
         """Blocking half: fetch pass-1 stats, adapt, dispatch pass 2, fetch.
 
         `chain` (optional zero-arg callable) runs right after the pass-2
         kernel is dispatched — a pipelining hook so the caller can enqueue
         the NEXT batch's pass-1 kernel behind it and keep the device busy
-        through this batch's downloads."""
-        totals, ones = (np.asarray(a).astype(np.int64) for a in stats)
+        through this batch's downloads.  `early_chain` runs right after the
+        pass-1 stats arrive, BEFORE pass 2 is dispatched — the hook for
+        enqueueing the next batch's small segment-alpha kernel ahead of
+        this batch's big pass-2 kernel, so the late chain's fetch of it
+        returns without waiting through pass 2."""
+        # One d2h RPC for both stat tensors (the tunnel charges ~25 ms
+        # latency per fetch).
+        both = np.asarray(jnp.stack(stats)).astype(np.int64)
+        if early_chain is not None:
+            early_chain()
+        totals, ones = both[0], both[1]
         default = T.COEFF_PROBS_DEFAULT.copy()
 
         def probs_for(i):
@@ -1490,6 +1566,11 @@ def analyze_frames_lossy_batch(planes, quality: int, method: int, mbw, mbh,
         packed2 = encode_analysis_batch_v2_pertbl_packed(
             Y, U, V, P, tables, mbw, mbh, n_try, method >= 4, sid
         )
+        # NOTE (r5): do NOT try to overlap the wire d2h with the chain's
+        # device round-trip on a helper thread — the tunnel serializes all
+        # RPCs, and a 1 s transfer in flight starves the chain's dispatches
+        # (measured: rounds degrade 4 s -> 6-8 s).  Bytes and RPC count are
+        # the only levers.
         if chain is not None:
             chain()
 

@@ -75,11 +75,14 @@ def _apply_op(carry, bit, prob, ok):
     )
 
 
-# lax.scan unroll factor.  One-op-per-iteration measured ~8 us/step of
+# Ops per scan iteration.  One-op-per-iteration measured ~8 us/step of
 # loop/DMA overhead on v5e (the ~172k-step stream ran 1.43 s/img — NOTES
-# r3); unrolling amortizes that overhead across UNROLL ops per iteration
-# while threading only the tiny (bottom, range, bit_num) carry.
-UNROLL = 16
+# r3), and plain `unroll=` replicates the per-op [1, L] HBM slicing 16x
+# rather than coalescing it (the r4 DMA-granularity floor, 274 ms/img).
+# Instead the streams are reshaped to [T/C, C, L] so each scan iteration
+# moves ONE contiguous [C, L] block per operand and the unrolled inner
+# loop walks rows already resident in VMEM/registers.
+CHUNK = 64
 
 
 @functools.partial(jax.jit, static_argnames=("max_bytes",))
@@ -97,27 +100,41 @@ def bool_encode_lanes(bits, probs, valid, max_bytes: int, init_state=None):
     must fall back)."""
     T, L = bits.shape
     # Pad the op streams with no-ops: small T to the next power of two (it
-    # collapses the set of distinct compiled shapes — the unrolled body
+    # collapses the set of distinct compiled shapes — the chunked body
     # makes each compile non-trivial, and tests sweep many lengths), large
-    # T just to an UNROLL multiple (production T is fixed per geometry and
-    # pow2 padding would waste up to 2x stream memory).
+    # T just to a CHUNK multiple (production T is fixed per geometry and
+    # pow2 padding would waste up to 2x stream memory).  The wide chunk is
+    # TPU-only: XLA:CPU takes >10 minutes to compile the 64-op body
+    # (measured r5), and the CPU paths are tests/dryruns where chunk=8
+    # compiles in seconds.
+    chunk = CHUNK if (T > 8192 and jax.default_backend() == "tpu") else 8
     if T > 8192:
-        Tp = ((T + UNROLL - 1) // UNROLL) * UNROLL
+        Tp = ((T + chunk - 1) // chunk) * chunk
     else:
-        Tp = UNROLL
+        Tp = chunk
         while Tp < T:
             Tp *= 2
     pad = Tp - T
     # Keep the streams at their narrow dtypes in HBM; widen per-step.
-    bits = jnp.pad(bits, ((0, pad), (0, 0)))
-    probs = jnp.pad(probs, ((0, pad), (0, 0)))
-    valid = jnp.pad(valid, ((0, pad), (0, 0)))
+    bits = jnp.pad(bits, ((0, pad), (0, 0))).reshape(-1, chunk, L)
+    probs = jnp.pad(probs, ((0, pad), (0, 0))).reshape(-1, chunk, L)
+    valid = jnp.pad(valid, ((0, pad), (0, 0))).reshape(-1, chunk, L)
 
     def step(carry, x):
-        bit, prob, ok = x
-        return _apply_op(
-            carry, bit.astype(jnp.int32), prob.astype(jnp.int32),
-            ok.astype(jnp.int32),
+        bit_c, prob_c, ok_c = x  # [CHUNK, L] blocks, one DMA each
+        bit_c = bit_c.astype(jnp.int32)
+        prob_c = prob_c.astype(jnp.int32)
+        ok_c = ok_c.astype(jnp.int32)
+        eb, ef, ec = [], [], []
+        for j in range(chunk):
+            carry, (b, f, c) = _apply_op(
+                carry, bit_c[j], prob_c[j], ok_c[j]
+            )
+            eb.append(b)
+            ef.append(f)
+            ec.append(c)
+        return carry, (
+            jnp.stack(eb), jnp.stack(ef), jnp.stack(ec)
         )
 
     if init_state is None:
@@ -137,9 +154,11 @@ def bool_encode_lanes(bits, probs, valid, max_bytes: int, init_state=None):
         step,
         init,
         (bits, probs, valid),
-        unroll=UNROLL,
     )
     T = Tp
+    ebytes = ebytes.reshape(T, L)
+    eflags = eflags.reshape(T, L)
+    ecarr = ecarr.reshape(T, L)
     ebytes = ebytes.T.astype(jnp.int32)  # [L, T]
     eflags = eflags.T.astype(jnp.int32)
     ecarr = ecarr.T.astype(jnp.int32)

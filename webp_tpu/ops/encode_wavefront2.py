@@ -32,6 +32,7 @@ that XLA:TPU lowers per-lane table gathers to near-scalar loops (measured
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,13 @@ from .wavefront2 import (
     ring_write,
     schedule_mb_data,
 )
+
+# Static unroll of the 16-subblock I4 chains inside the p2 wavefront step.
+# Measured r5 on v5e: 4 is the sweet spot — 8 made the I4 RD while ~20%
+# SLOWER (the wider body spills; the while's cost is real vector work, not
+# launch latency) and full 16x inline stalls the remote compiler for
+# minutes (see _i4_trellis_v2).
+_I4_UNROLL = int(os.environ.get("WEBP_TPU_I4_UNROLL", "4"))
 
 # numpy on purpose (see ops/token_stats.py: module-level jnp constants can
 # bind to a trace when first imported inside a jitted body)
@@ -512,7 +520,7 @@ def _i4_trellis_v2(a16, tr4, tl, left16, src, modes, top_cy, left_cy, P, tbl):
 
     (ws, nnz_ext), lvs = jax.lax.scan(
         body, (ws, nnz_ext), (jnp.arange(16, dtype=jnp.int32), src_x, modes_x),
-        unroll=4,
+        unroll=_I4_UNROLL,
     )
     levels = jnp.moveaxis(lvs, 0, 2)  # [R,B,16,16]
     rec_full = ws[..., 1:, 1:17]
@@ -672,7 +680,8 @@ def _i4_search_v2(a16, tr4, tl, left16, src, tb0, lb0, i16_score, n_try: int, P,
     src_x = jnp.moveaxis(src_blocks, 2, 0)  # [16, R, B, 16]
     tsrc_x = jnp.moveaxis(tsrc_all, 2, 0)  # [16, R, B]
     (ws, tb, lb, _, _, rate, disto, tmc, ok), (ms, lvs) = jax.lax.scan(
-        body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x), unroll=4
+        body, init, (jnp.arange(16, dtype=jnp.int32), src_x, tsrc_x),
+        unroll=_I4_UNROLL,
     )
     return (
         ok,
@@ -1111,8 +1120,38 @@ def _pack_levels_stage(lv8, cap_mb: int):
 CAP_MB = 256
 
 
+# The d2h tunnel on this setup is UNCOMPRESSED at ~15-35 MB/s and the whole
+# pipeline is tunnel-byte-bound, so the wire packs levels to 4 bits:
+# measured Q75-m4 bench-corpus stats — 98.6% of nonzero levels have
+# |v| <= 7; per-MB |v|>7 counts are mean 1.2 / max 21 (MED_CAP=32 covers
+# with margin); |v|>127 escapes are a handful per image (image-level list,
+# ESC_IMG cap).  A two-tier row scheme was measured r5 and REJECTED:
+# per-image >128-nonzero MB counts range 66..961 of 1536 (median 364), so
+# any safe tier-2 budget saves <15% while risking ~40 ms dense-fetch
+# fallbacks per dense image.
+MED_CAP = 32
+ESC_IMG = 512
+
+
+def wire_bytes(nmb: int) -> int:
+    """Total bytes of the coalesced d2h wire buffer for an nmb-MB image."""
+    # flags(2) + bitmap(50/MB) + int4 vals (CAP_MB/2 per MB) + med escapes
+    # (MED_CAP idx u8 + MED_CAP val i8 per MB) + meta8(18/MB) + image-level
+    # |v|>127 escape list (pos i32 + val i16).
+    return 2 + nmb * (50 + CAP_MB // 2 + 2 * MED_CAP + 18) + ESC_IMG * 6
+
+
+def _i16_le_bytes(x):
+    """int16 [..., N] -> uint8 [..., 2N] little-endian byte pairs."""
+    xu = x.astype(jnp.int32)
+    lo = (xu & 0xFF).astype(jnp.uint8)
+    hi = ((xu >> 8) & 0xFF).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1], -1)
+
+
 def _pack_stage(lv8, meta8, esc_pos, esc_val, overflow):
-    """Second jit stage: sparse-pack the materialized levels.
+    """Second stage: sparse-pack the levels and coalesce EVERYTHING the host
+    needs into one uint8 wire buffer per image (one jit, one d2h fetch).
 
     Kept a separate jit from the analysis so the pack reads the
     materialized lv8 instead of being fused back into (and re-running parts
@@ -1122,9 +1161,95 @@ def _pack_stage(lv8, meta8, esc_pos, esc_val, overflow):
     ~200k binary-search gathers per image are TPU-hostile; round 3's
     "fusion pathology" diagnosis mis-attributed that cost to XLA
     recomputation).
+
+    Why one buffer: the d2h tunnel is uncompressed ~25-35 MB/s with ~25 ms
+    per-RPC latency (measured r5), so seven separate np.asarray fetches per
+    batch cost ~150 ms of pure latency on top of the bytes.  See
+    wire_bytes for why vals are single-tier.
     """
+    return lv8, _wire_stage(lv8, meta8, esc_pos, esc_val, overflow)
+
+
+def _rank_compact(mask, cap: int, fields):
+    """One-hot-matmul compaction along the last axis: for each leading
+    index, gather the masked entries of each `fields` array (same shape as
+    mask) into rank order, cap `cap`.  Returns (list of [..., cap] f32
+    results, over [...] bool).  Exact for integer-valued fields < 2^24."""
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    over = rank[..., -1] > cap
+    onehot = (
+        (rank[..., None] == jnp.arange(1, cap + 1, dtype=jnp.int32))
+        & mask[..., None]
+    ).astype(jnp.float32)
+    outs = [
+        jnp.einsum(
+            "...j,...jk->...k", f.astype(jnp.float32), onehot,
+            preferred_element_type=jnp.float32,
+        )
+        for f in fields
+    ]
+    return outs, over
+
+
+@jax.jit
+def _wire_stage(lv8, meta8, esc_pos, esc_val, overflow):
+    B, nmb, _ = lv8.shape
     bitmap, vals, sp_over = _pack_levels_stage(lv8, CAP_MB)
-    return lv8, bitmap, vals, sp_over, meta8, esc_pos, esc_val, overflow
+
+    # int4 nibbles of the compacted vals (two's complement; |v|>7 slots are
+    # overridden by the med list on expansion).
+    nib = vals.astype(jnp.int32) & 0xF
+    vals4 = (nib[..., 0::2] | (nib[..., 1::2] << 4)).astype(jnp.uint8)
+
+    # Per-MB med escapes: rank-compact the |v|>7 slots of the 256-slot
+    # compacted vals into (slot index u8, int8 value) pairs.
+    vmask = jnp.abs(vals.astype(jnp.int32)) > 7
+    ks = jnp.broadcast_to(
+        jnp.arange(CAP_MB, dtype=jnp.int32), vals.shape
+    )
+    (med_idx, med_val), med_over = _rank_compact(
+        vmask, MED_CAP, (ks, vals.astype(jnp.int32) & 0xFF)
+    )
+    sp_over = sp_over | med_over.any(-1)
+
+    # Image-level |v|>127 escape list from the per-MB (pos, val) pairs
+    # (positions are dense level indices mb*400+pos; invalid slots are -1).
+    gpos = (
+        jnp.arange(nmb, dtype=jnp.int32)[None, :, None] * 400
+        + esc_pos.astype(jnp.int32)
+    ).reshape(B, -1)
+    emask = (esc_pos >= 0).reshape(B, -1)
+    (eg_pos, eg_val), eg_over = _rank_compact(
+        emask, ESC_IMG,
+        (gpos, esc_val.reshape(B, -1).astype(jnp.int32) & 0xFFFF),
+    )
+    overflow = overflow | eg_over
+
+    flags = jnp.stack(
+        [sp_over.astype(jnp.uint8), overflow.astype(jnp.uint8)], axis=-1
+    )
+    eg_pos_i = eg_pos.astype(jnp.int32)
+    eg_pos_bytes = jnp.stack(
+        [
+            (eg_pos_i & 0xFF), (eg_pos_i >> 8) & 0xFF,
+            (eg_pos_i >> 16) & 0xFF, (eg_pos_i >> 24) & 0xFF,
+        ],
+        axis=-1,
+    ).astype(jnp.uint8).reshape(B, -1)
+    wire = jnp.concatenate(
+        [
+            flags,
+            bitmap.reshape(B, -1),
+            vals4.reshape(B, -1),
+            med_idx.astype(jnp.uint8).reshape(B, -1),
+            med_val.astype(jnp.uint8).reshape(B, -1),
+            meta8.reshape(B, -1),
+            eg_pos_bytes,
+            _i16_le_bytes(eg_val.astype(jnp.int32).astype(jnp.int16)),
+        ],
+        axis=-1,
+    )
+    return wire
 
 
 def encode_analysis_batch_v2_packed(
@@ -1366,25 +1491,76 @@ def encode_analysis_stats_batch(
     return token_stats_device.__wrapped__(lm, y2, y, uv, skipped, mbw, mbh)
 
 
-def unpack_analysis_sparse(bitmap, vals, meta8, esc_pos, esc_val):
-    """Host-side unpack of the SPARSE transfer -> the plain arrays dict
-    for ONE image (numpy inputs; bitmap [nmb*50] uint8, vals [nmb, CAP_MB]
-    int8 in the per-MB wire format of device_pack_levels_mb)."""
+def split_wire(wire_row: np.ndarray, nmb: int):
+    """Slice ONE image's coalesced uint8 wire buffer back into views.
+
+    Returns (sp_over, overflow, bitmap, vals4 [nmb,CAP_MB/2] u8,
+    med_idx [nmb,MED_CAP] u8, med_val [nmb,MED_CAP] i8, meta8 [nmb,18],
+    eg_pos [ESC_IMG] i32, eg_val [ESC_IMG] i16).  Layout must match
+    _wire_stage exactly.
+    """
+    o = 2
+    sp_over, overflow = bool(wire_row[0]), bool(wire_row[1])
+    bitmap = wire_row[o : o + nmb * 50]
+    o += nmb * 50
+    vals4 = wire_row[o : o + nmb * (CAP_MB // 2)].reshape(nmb, CAP_MB // 2)
+    o += nmb * (CAP_MB // 2)
+    med_idx = wire_row[o : o + nmb * MED_CAP].reshape(nmb, MED_CAP)
+    o += nmb * MED_CAP
+    med_val = wire_row[o : o + nmb * MED_CAP].view(np.int8).reshape(nmb, MED_CAP)
+    o += nmb * MED_CAP
+    meta8 = wire_row[o : o + nmb * 18].reshape(nmb, 18)
+    o += nmb * 18
+    eg_pos = wire_row[o : o + ESC_IMG * 4].view("<i4")
+    o += ESC_IMG * 4
+    eg_val = wire_row[o : o + ESC_IMG * 2].view("<i2")
+    return sp_over, overflow, bitmap, vals4, med_idx, med_val, meta8, eg_pos, eg_val
+
+
+def unpack_analysis_wire(wire_row: np.ndarray, nmb: int):
+    """Host-side unpack of ONE image's coalesced wire buffer (sparse path):
+    expand the per-MB bitmap + int4 vals + med escapes to dense levels
+    (native C++, ~0.3 ms/img vs ~12 ms numpy), then apply the image-level
+    |v|>127 escape list."""
+    (_, _, bitmap, vals4, med_idx, med_val, meta8, eg_pos, eg_val) = split_wire(
+        wire_row, nmb
+    )
+    try:
+        from ..io import native
+
+        lv = native.wire_expand_levels(bitmap, vals4, med_idx, med_val, nmb)
+    except Exception as e:  # pragma: no cover - build/ABI problems
+        from ..io.native import warn_once
+
+        warn_once("wire_expand_levels", e)
+        lv = _numpy_wire_expand(bitmap, vals4, med_idx, med_val, nmb)
+    lv = lv.reshape(-1).astype(np.int32)
+    live = eg_val != 0  # padding entries carry val 0 (real escapes are >127)
+    lv[eg_pos[live]] = eg_val[live]
+    return _split_levels(lv.reshape(nmb, 400), meta8)
+
+
+def _numpy_wire_expand(bitmap, vals4, med_idx, med_val, nmb):
+    """Numpy reference twin of native wire_expand_levels (tests + fallback)."""
+    lo = (vals4.astype(np.int32) & 0xF)
+    hi = (vals4.astype(np.int32) >> 4) & 0xF
+    nib = np.empty((nmb, CAP_MB), np.int32)
+    nib[:, 0::2] = lo
+    nib[:, 1::2] = hi
+    nib = np.where(nib >= 8, nib - 16, nib)  # two's complement int4
+    # med escapes override their slots (rank order; padding entries have
+    # val 0 which no real |v|>7 entry can carry)
+    rows, cols = np.nonzero(med_val != 0)
+    nib[rows, med_idx[rows, cols].astype(np.int64)] = med_val[rows, cols]
     from .sparse import host_expand_levels_mb
 
-    nmb = meta8.shape[0]
-    lv8 = host_expand_levels_mb(bitmap, vals, nmb, 400)
-    return unpack_analysis(lv8, meta8, esc_pos, esc_val)
+    return host_expand_levels_mb(
+        bitmap, np.clip(nib, -128, 127).astype(np.int8), nmb, 400
+    ).astype(np.int16)
 
 
-def unpack_analysis(lv8, meta8, esc_pos, esc_val):
-    """Host-side unpack of the packed transfer -> the plain arrays dict
-    for ONE image (numpy inputs [nmb, ...])."""
-    lv = lv8.astype(np.int32)
-    for k in range(N_ESC):
-        sel = np.flatnonzero(esc_pos[:, k] >= 0)
-        if len(sel):
-            lv[sel, esc_pos[sel, k].astype(np.int64)] = esc_val[sel, k]
+def _split_levels(lv, meta8):
+    """[nmb, 400] int32 levels + meta8 -> the plain arrays dict."""
     nmb = lv.shape[0]
     return dict(
         y_levels=lv[:, :256].reshape(nmb, 16, 16),
@@ -1394,3 +1570,25 @@ def unpack_analysis(lv8, meta8, esc_pos, esc_val):
         luma_mode=meta8[:, 16].astype(np.int32),
         chroma_mode=meta8[:, 17].astype(np.int32),
     )
+
+
+def unpack_analysis(lv8, meta8, esc_pos, esc_val):
+    """Host-side unpack of the packed transfer -> the plain arrays dict
+    for ONE image (numpy inputs [nmb, ...]; esc_pos/esc_val are the per-MB
+    [nmb, N_ESC] escape pairs of _prepack_body)."""
+    lv = lv8.astype(np.int32)
+    for k in range(N_ESC):
+        sel = np.flatnonzero(esc_pos[:, k] >= 0)
+        if len(sel):
+            lv[sel, esc_pos[sel, k].astype(np.int64)] = esc_val[sel, k]
+    return _split_levels(lv, meta8)
+
+
+def unpack_analysis_dense_wire(lv8_row, wire_row, nmb):
+    """sp_over fallback: dense int8 levels row + the wire's image-level
+    escape list -> the plain arrays dict."""
+    (_, _, _, _, _, _, meta8, eg_pos, eg_val) = split_wire(wire_row, nmb)
+    lv = lv8_row.reshape(-1).astype(np.int32)
+    live = eg_val != 0
+    lv[eg_pos[live]] = eg_val[live]
+    return _split_levels(lv.reshape(nmb, 400), meta8)

@@ -18,12 +18,22 @@ VP8TrellisQuantizeBlock; parity reference
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..common import vp8_tables as T
 from ..encode import tables as ET
+
+# Static unroll factor for the 16-position DP / unwind scans when they run
+# directly inside the p2 wavefront step (the I16/UV paths; the I4 chain
+# passes unroll=True and inlines fully).  Measured r5 on v5e: unroll=8
+# DOUBLED the spec3 DP while's time (0.4 -> 0.8 ms/step — the wide body
+# spills; the loop's cost is real vector work, not launch latency), so the
+# default stays 1.
+_DP_UNROLL = int(os.environ.get("WEBP_TPU_TRELLIS_UNROLL", "1"))
 from .encode_wavefront2 import _CLS_THRESH, _fixed_cost_arith
 
 # NB: module-level constants stay numpy/python — this module is imported
@@ -286,7 +296,9 @@ def trellis_par(coeffs_raster, q, iq, sharpen_zz, lam, ctype: int, first: int,
         has_nz = (levels[..., first:] != 0).any(-1)
         return levels, has_nz
 
-    carry, (node_level, node_prev) = jax.lax.scan(body, init, xs)
+    carry, (node_level, node_prev) = jax.lax.scan(
+        body, init, xs, unroll=_DP_UNROLL
+    )
     best_n, best_delta = carry[8], carry[9]
 
     # Unwind best paths backward from each block's terminal node.
@@ -303,6 +315,7 @@ def trellis_par(coeffs_raster, q, iq, sharpen_zz, lam, ctype: int, first: int,
         best_delta,
         (jnp.arange(16, dtype=jnp.int32), node_level, node_prev, sign_t),
         reverse=True,
+        unroll=_DP_UNROLL,
     )
     levels = jnp.moveaxis(outs, 0, -1)
     has_nz = (levels[..., first:] != 0).any(-1)
@@ -459,7 +472,7 @@ def trellis_spec3(coeffs_raster, q, iq, sharpen_zz, lam, ctype: int, first: int,
         s0h, s0l, s0h, s0l, ctx0s, ctx0s,
         best_h, best_l, best_n, best_delta, jnp.zeros(spec, jnp.int32),
     )
-    carry, (node_prev,) = jax.lax.scan(body, init, xs)
+    carry, (node_prev,) = jax.lax.scan(body, init, xs, unroll=_DP_UNROLL)
     best_n, best_delta = carry[8], carry[9]
 
     # Unwind: node levels are spec-independent (level0/level0+1).
@@ -478,6 +491,7 @@ def trellis_spec3(coeffs_raster, q, iq, sharpen_zz, lam, ctype: int, first: int,
         best_delta,
         (n_iota, tx(lvl_d), node_prev, jnp.moveaxis(sign, -1, 0)),
         reverse=True,
+        unroll=_DP_UNROLL,
     )
     levels = jnp.moveaxis(outs, 0, -1)  # [..., 3, 16]
     has_nz = (levels[..., first:] != 0).any(-1)

@@ -77,7 +77,26 @@ def rgb_to_yuv420(rgb: np.ndarray):
 
     Input [h, w, 3|4] uint8; returns (y [mbh*16, mbw*16], u, v [mbh*8, mbw*8]).
     Parity: `/root/reference/src/decoder/yuv.rs:656-898`.
+
+    Runs the C++ twin when available (bit-exact, ~7x faster on the 2-core
+    bench host; tests/test_jax_ops.py enforces equality with this numpy
+    form), falling back to numpy.
     """
+    if rgb.dtype == np.uint8 and rgb.ndim == 3 and rgb.shape[2] in (3, 4):
+        try:
+            from ..io import native
+
+            return native.rgb_to_yuv420(rgb)
+        except Exception as e:  # pragma: no cover - build/ABI problems
+            from ..io.native import warn_once
+
+            warn_once("rgb_to_yuv420", e)
+    return rgb_to_yuv420_numpy(rgb)
+
+
+def rgb_to_yuv420_numpy(rgb: np.ndarray):
+    """Numpy reference form of rgb_to_yuv420 (the equality oracle for the
+    native and device twins)."""
     h, w = rgb.shape[:2]
     mbw = (w + 15) // 16
     mbh = (h + 15) // 16
