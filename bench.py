@@ -47,6 +47,10 @@ BASELINE_IMAGES_PER_S = 1.0 / (0.0042 + 0.065)
 BATCH = int(os.environ.get("WEBP_TPU_BENCH_BATCH", "64"))
 ROUNDS = int(os.environ.get("WEBP_TPU_BENCH_ROUNDS", "9"))
 SEGMENTS = os.environ.get("WEBP_TPU_BENCH_SEGMENTS", "1") == "1"
+# The container's 8-coefficient-partition hook (SURVEY §2.4.1): spreads the
+# serial boolean-coder tail across 8 independent streams per image (+0.1%
+# bytes measured; decodes identically).  The flagship runs it ON.
+NPARTS = int(os.environ.get("WEBP_TPU_BENCH_PARTS", "8"))
 MPIX = 768 * 512 / 1e6
 
 
@@ -162,7 +166,7 @@ def main():
         planes, 75, 4, mbw, mbh, segments=SEGMENTS
     )
     finish = lambda fetched: E.finish_frames_lossy_batch(
-        planes, fetched, 75, 4, w, h, segments=SEGMENTS
+        planes, fetched, 75, 4, w, h, segments=SEGMENTS, num_partitions=NPARTS
     )
 
     # ---------------- encode ----------------
@@ -427,6 +431,7 @@ def main():
                     f"images/sec/chip (768x512 mixed gallery1 corpus decode + Q75-m4 "
                     f"encode: two-pass+trellis, "
                     f"segments {'on' if SEGMENTS else 'off'}, "
+                    f"{NPARTS} coeff partitions, "
                     f"device tokens {'on' if tokens_on else 'off'}, "
                     f"batch={BATCH}, pipelined, decoded pixels device-resident)"
                 ),

@@ -403,10 +403,19 @@ class Vp8Encoder:
 
             def diffuse(bi, t_err, l_err):
                 dc = int(dct[bi, 0]) + ((7 * int(t_err) + 8 * int(l_err)) >> 3)
-                dct[bi, 0] = dc
                 a = abs(dc)
                 level = (a * iq + bias) >> 17
-                err = a - level * q
+                # libwebp's QuantizeSingle REPLACES the coefficient with its
+                # predicted reconstruction level*q (sign restored) — the
+                # later real quantization then re-quantizes that multiple,
+                # which can land one level below the adjusted value's own
+                # quantization (iq is floor(2^17/q), so q*iq < 2^17).
+                # Keeping the adjusted value instead produced sparse +-1
+                # chroma DC diffs vs libwebp under identical decisions
+                # (r5 diff_levels).
+                qv = level * q
+                dct[bi, 0] = -qv if dc < 0 else qv
+                err = a - qv
                 err = -err if dc < 0 else err
                 return max(-127, min(127, err >> 1))
 
@@ -1691,7 +1700,8 @@ def encode_frames_lossy_batch(rgbs, quality: int = 75, method: int = 4,
 
 
 def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
-                              segments: bool = False) -> list:
+                              segments: bool = False,
+                              num_partitions: int = None) -> list:
     """Host half of the batched encode: probs injection, contexts, entropy.
 
     `fetched` is (arrays, probs) from analyze_frames_lossy_batch — or
@@ -1717,7 +1727,7 @@ def finish_frames_lossy_batch(planes, fetched, quality, method, w, h,
         nparts = (
             DEVICE_TOKEN_PARTS
             if parts_list is not None and parts_list[i] is not None
-            else 1
+            else (num_partitions or int(os.environ.get("WEBP_TPU_NUM_PARTITIONS", "1")))
         )
         enc = Vp8Encoder(
             quality, method, backend="device", two_pass=two_pass,

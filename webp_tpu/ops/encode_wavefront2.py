@@ -749,9 +749,14 @@ def _chroma_diffusion_v2(dct, pred, P, top_err, left_err):
         d2 = dcv + ((7 * t_err + 8 * l_err) >> 3)
         a = jnp.abs(d2)
         level = (a * iq + bias) >> 17
-        err = a - level * q
+        # libwebp QuantizeSingle semantics: the coefficient becomes its
+        # predicted reconstruction level*q (sign restored); see the python
+        # twin in encode/vp8.py:_chroma_error_diffusion.
+        qv = level * q
+        dcq = jnp.where(d2 < 0, -qv, qv)
+        err = a - qv
         err = jnp.where(d2 < 0, -err, err)
-        return d2, jnp.clip(err >> 1, -127, 127)
+        return dcq, jnp.clip(err >> 1, -127, 127)
 
     te, le = top_err, left_err
     dc0, e0 = diffuse(dc[..., 0], te[..., 0], le[..., 0])
